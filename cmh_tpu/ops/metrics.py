@@ -29,7 +29,7 @@ def calc_label_sim(a: jax.Array, b: jax.Array) -> jax.Array:
     """(a @ bᵀ > 0) as float — multi-label ground-truth similarity."""
     sim = jnp.matmul(
         a.astype(jnp.float32), b.astype(jnp.float32).T,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision="highest",
     )
     return (sim > 0).astype(jnp.float32)
 
@@ -42,7 +42,7 @@ def generate_weight_sim(a: jax.Array, b: jax.Array):
     """
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    sim_origin = jnp.matmul(a, b.T, preferred_element_type=jnp.float32)
+    sim_origin = jnp.matmul(a, b.T, preferred_element_type=jnp.float32, precision="highest")
     batch = a.shape[0]
     label_sim = (sim_origin > 0).astype(jnp.float32)
     ideal = -jnp.sort(-sim_origin, axis=1)  # descending
@@ -58,7 +58,7 @@ def euclidean_similarity(a: jax.Array, b: jax.Array) -> jax.Array:
     b = b.astype(jnp.float32)
     sq = (
         jnp.sum(a * a, axis=-1, keepdims=True)
-        - 2.0 * jnp.matmul(a, b.T, preferred_element_type=jnp.float32)
+        - 2.0 * jnp.matmul(a, b.T, preferred_element_type=jnp.float32, precision="highest")
         + jnp.sum(b * b, axis=-1)[None, :]
     )
     return jnp.sqrt(jnp.maximum(sq, 0.0))
@@ -67,7 +67,7 @@ def euclidean_similarity(a: jax.Array, b: jax.Array) -> jax.Array:
 def cosine_similarity(a: jax.Array, b: jax.Array, eps: float = 0.0) -> jax.Array:
     a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
     b = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
-    return jnp.matmul(a, b.T, preferred_element_type=jnp.float32)
+    return jnp.matmul(a, b.T, preferred_element_type=jnp.float32, precision="highest")
 
 
 def calc_hamming_dist(b1: jax.Array, b2: jax.Array) -> jax.Array:

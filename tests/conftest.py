@@ -7,8 +7,10 @@ pjit/shard_map partitioning logic the TPU path uses.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Hard-set (not setdefault):
+# the environment pins JAX_PLATFORMS=axon for the real-TPU tunnel, and test
+# runs must not go through it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
