@@ -1,0 +1,86 @@
+import sys
+
+import numpy as np
+import pytest
+
+from cmh_tpu.models.clip.tokenizer import (
+    EOT_ID,
+    SOT_ID,
+    SimpleTokenizer,
+    tokenize_caption,
+)
+
+sys.path.insert(0, "/root/reference")
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return SimpleTokenizer()
+
+
+@pytest.fixture(scope="module")
+def ref_tok():
+    """The reference tokenizer, imported from the read-only mount, as oracle.
+
+    ftfy is not installed; for clean ASCII test strings ``ftfy.fix_text`` is
+    the identity, so a stub module preserves oracle behavior.
+    """
+    import types
+
+    if "ftfy" not in sys.modules:
+        stub = types.ModuleType("ftfy")
+        stub.fix_text = lambda s: s
+        sys.modules["ftfy"] = stub
+    try:
+        from models.CLIP.simple_tokenizer import SimpleTokenizer as RefTok
+
+        return RefTok()
+    except Exception:
+        return None
+
+
+def test_vocab_size(tok):
+    assert tok.vocab_size == 49408
+    assert tok.encoder["<|startoftext|>"] == SOT_ID
+    assert tok.encoder["<|endoftext|>"] == EOT_ID
+
+
+def test_encode_decode_roundtrip(tok):
+    text = "a photo of a cat sitting on the mat"
+    ids = tok.encode(text)
+    assert tok.decode(ids).strip() == text
+
+
+CASES = [
+    "a photo of a cat",
+    "Two dogs playing in THE park!",
+    "skyscraper, bridge & river 123",
+    "un petit café",
+    "hello-world foo_bar 42nd street",
+]
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_parity_with_reference_tokenizer(tok, ref_tok, text):
+    if ref_tok is None:
+        pytest.skip("reference tokenizer unavailable (ftfy missing)")
+    assert tok.encode(text) == ref_tok.encode(text)
+    assert tok.tokenize(text) == ref_tok.tokenize(text)
+
+
+def test_tokenize_caption_packing(tok):
+    ids, mask = tokenize_caption(tok, "a photo of a cat", max_words=8)
+    assert ids.shape == (8,)
+    assert ids[0] == SOT_ID
+    assert EOT_ID in ids
+    eot_pos = int(np.argmax(ids == EOT_ID))
+    assert np.all(ids[eot_pos + 1 :] == 0)
+    np.testing.assert_array_equal(mask, ids == 0)
+
+
+def test_tokenize_caption_truncation(tok):
+    long_text = " ".join(["word"] * 100)
+    ids, _ = tokenize_caption(tok, long_text, max_words=8)
+    assert ids.shape == (8,)
+    assert ids[0] == SOT_ID
+    assert ids[-1] == EOT_ID  # EOT appended after truncation to max-1
