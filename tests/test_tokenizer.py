@@ -25,6 +25,7 @@ def ref_tok():
     ftfy is not installed; for clean ASCII test strings ``ftfy.fix_text`` is
     the identity, so a stub module preserves oracle behavior.
     """
+    import importlib.util
     import types
 
     if "ftfy" not in sys.modules:
@@ -32,9 +33,15 @@ def ref_tok():
         stub.fix_text = lambda s: s
         sys.modules["ftfy"] = stub
     try:
-        from models.CLIP.simple_tokenizer import SimpleTokenizer as RefTok
-
-        return RefTok()
+        # load the module file directly — the reference package __init__
+        # pulls in unavailable deps (xlrd)
+        spec = importlib.util.spec_from_file_location(
+            "ref_simple_tokenizer",
+            "/root/reference/models/CLIP/simple_tokenizer.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.SimpleTokenizer()
     except Exception:
         return None
 
