@@ -1,0 +1,176 @@
+"""BertAdam as an optax GradientTransformation.
+
+Faithful re-implementation of the reference optimizer semantics
+(/root/reference/models/common/optimizer.py:102-166) in functional JAX form:
+
+- **per-parameter** gradient-norm clipping inside the step (each leaf tensor
+  clipped to ``max_grad_norm`` independently — NOT global clipping),
+- Adam moments **without** bias correction,
+- decoupled weight decay added to the update (not the gradient),
+- internal LR schedule (warmup_cosine / warmup_constant / warmup_linear)
+  keyed on ``step / t_total``; the first update uses schedule(0),
+- per-leaf base learning rates (the reference uses two param groups:
+  backbone lr vs hash-head lr — runners/base.py:120-142) via an ``lr_map``
+  pytree of the same structure as the params.
+
+The whole step is a pure function over pytrees, so the entire optimizer
+fuses into the jitted train step on TPU (the reference runs a python loop
+over parameters on the host every step).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..registry import registry
+
+
+def warmup_cosine(x, warmup=0.002):
+    return jnp.where(x < warmup, x / warmup, 0.5 * (1.0 + jnp.cos(math.pi * x)))
+
+
+def warmup_constant(x, warmup=0.002):
+    return jnp.where(x < warmup, x / warmup, 1.0)
+
+
+def warmup_linear(x, warmup=0.002):
+    return jnp.where(x < warmup, x / warmup, jnp.maximum((x - 1.0) / (warmup - 1.0), 0.0))
+
+
+SCHEDULES = {
+    "warmup_cosine": warmup_cosine,
+    "warmup_constant": warmup_constant,
+    "warmup_linear": warmup_linear,
+}
+
+
+class BertAdamState(NamedTuple):
+    step: jax.Array       # int32 scalar
+    m: Any                # first-moment pytree
+    v: Any                # second-moment pytree
+
+
+def scheduled_lr_factor(
+    step, t_total: int, schedule: str = "warmup_linear", warmup: float = -1.0
+):
+    """The multiplicative schedule factor at ``step`` (python or traced)."""
+    if t_total == -1:
+        return jnp.asarray(1.0, jnp.float32)
+    progress = jnp.asarray(step, jnp.float32) / t_total
+    w = warmup if warmup != -1 else 0.002
+    return SCHEDULES[schedule](progress, w)
+
+
+def bert_adam(
+    lr: float,
+    lr_map: Optional[Any] = None,
+    warmup: float = -1.0,
+    t_total: int = -1,
+    schedule: str = "warmup_linear",
+    b1: float = 0.9,
+    b2: float = 0.999,
+    e: float = 1e-6,
+    weight_decay: float = 0.01,
+    max_grad_norm: float = 1.0,
+) -> optax.GradientTransformation:
+    """Build the BertAdam transform.
+
+    Args:
+      lr: default base learning rate.
+      lr_map: optional pytree matching the params whose leaves are per-leaf
+        base learning rates (overrides ``lr`` where present).
+      Other args mirror the reference constructor defaults
+      (optimizer.py:65-67).
+    """
+    if schedule not in SCHEDULES:
+        raise ValueError(f"Invalid schedule parameter: {schedule}")
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return BertAdamState(step=jnp.zeros((), jnp.int32), m=zeros,
+                             v=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def _clip(g):
+        if max_grad_norm <= 0:
+            return g
+        # torch clip_grad_norm_: coef = max_norm / (norm + 1e-6), applied
+        # only when it is < 1 (torch/nn/utils/clip_grad.py semantics)
+        norm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+        coef = jnp.minimum(max_grad_norm / (norm + 1e-6), 1.0)
+        return (g.astype(jnp.float32) * coef).astype(g.dtype)
+
+    def update_fn(grads, state, params=None):
+        assert params is not None, "bert_adam requires params for weight decay"
+        grads = jax.tree_util.tree_map(_clip, grads)
+        new_m = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.m, grads
+        )
+        new_v = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * g * g, state.v, grads
+        )
+        factor = scheduled_lr_factor(state.step, t_total, schedule, warmup)
+
+        if lr_map is not None:
+            lr_leaves = lr_map
+        else:
+            lr_leaves = jax.tree_util.tree_map(lambda _: lr, params)
+
+        def leaf_update(m, v, p, base_lr):
+            upd = m / (jnp.sqrt(v) + e)
+            if weight_decay > 0.0:
+                upd = upd + weight_decay * p
+            return -(base_lr * factor) * upd
+
+        updates = jax.tree_util.tree_map(leaf_update, new_m, new_v, params, lr_leaves)
+        return updates, BertAdamState(step=state.step + 1, m=new_m, v=new_v)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_lr_map(params: Any, base_lr: float, overrides: dict) -> Any:
+    """Per-leaf lr pytree: top-level keys in ``overrides`` get their own lr.
+
+    Mirrors the reference's two param groups (backbone lr vs hash lr,
+    runners/base.py:136-137): ``overrides={'backbone': 1e-5}`` assigns 1e-5
+    to every leaf under params['backbone'] and ``base_lr`` elsewhere.
+    """
+    out = {}
+    for key, sub in params.items():
+        sub_lr = overrides.get(key, base_lr)
+        out[key] = jax.tree_util.tree_map(lambda _: sub_lr, sub)
+    return out
+
+
+@registry.register_optimizer("BertAdam")
+class BertAdamFactory:
+    """Registry adapter: cfg → optax transform (arch name parity)."""
+
+    @staticmethod
+    def from_config(cfg_optimizer, lr_map=None, t_total: int = -1):
+        return bert_adam(
+            lr=cfg_optimizer.get("lr", 0.001),
+            lr_map=lr_map,
+            warmup=cfg_optimizer.get("warmup_proportion", 0.1),
+            t_total=t_total,
+            schedule=cfg_optimizer.get("schedule", "warmup_cosine"),
+            b1=cfg_optimizer.get("b1", 0.9),
+            b2=cfg_optimizer.get("b2", 0.98),
+            e=cfg_optimizer.get("e", 1e-6),
+            weight_decay=cfg_optimizer.get("weight_decay", 0.2),
+            max_grad_norm=cfg_optimizer.get("max_grad_norm", 1.0),
+        )
+
+
+@registry.register_optimizer("SGD")
+class SGDFactory:
+    """torch.optim.SGD(momentum) equivalent — used for proxy parameters by
+    DSPH/DNPH (reference runners/DSPH/runner.py:83-91)."""
+
+    @staticmethod
+    def from_config(cfg, lr: float = 0.01, momentum: float = 0.9):
+        return optax.sgd(learning_rate=lr, momentum=momentum)

@@ -19,4 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# A pytest plugin may already have imported jax before this conftest ran, in
+# which case the env var alone is too late — force the platform via config
+# (safe as long as no backend has been initialized yet).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
