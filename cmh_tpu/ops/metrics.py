@@ -61,7 +61,12 @@ def euclidean_similarity(a: jax.Array, b: jax.Array) -> jax.Array:
         - 2.0 * jnp.matmul(a, b.T, preferred_element_type=jnp.float32, precision="highest")
         + jnp.sum(b * b, axis=-1)[None, :]
     )
-    return jnp.sqrt(jnp.maximum(sq, 0.0))
+    # zero-gradient-safe sqrt: d/dx sqrt(x) → ∞ at x=0 (the i==i diagonal of
+    # a self-similarity matrix is exactly 0), which NaNs the backward pass.
+    # torch.cdist defines a zero subgradient there; replicate that.
+    positive = sq > 0.0
+    safe = jnp.where(positive, sq, 1.0)
+    return jnp.where(positive, jnp.sqrt(safe), 0.0)
 
 
 def cosine_similarity(a: jax.Array, b: jax.Array, eps: float = 0.0) -> jax.Array:

@@ -1,0 +1,72 @@
+"""CLI entry point.
+
+Surface-compatible with the reference (/root/reference/main.py:24-53 and
+utils/get_args.py:3-17):
+
+    python main.py --config-file configs/DCMHT/config.yaml --save-dir result/x
+
+The save dir is timestamped, the YAML is loaded into the config tree, and
+the runner named by ``run.arch`` is dispatched from the registry.
+``--distribute`` on TPU does not spawn processes — JAX is single-program
+multi-device; it asserts a mesh over the available devices instead (the
+reference spawns one process per GPU with NCCL, main.py:38-51).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-file", type=str,
+                        default="configs/DCMHT/config.yaml",
+                        help="choices a hash model to run.")
+    parser.add_argument("--save-dir", type=str, default="./result/DCMHT",
+                        help="save dir.")
+    parser.add_argument("--device", type=str, default="0",
+                        help="device index (informational on TPU).")
+    parser.add_argument("--seed", type=int, default=1814)
+    parser.add_argument("--distribute", action="store_true", default=False,
+                        help="shard training over all visible TPU devices")
+    return parser.parse_args()
+
+
+def read_config(config_file: str, args):
+    from cmh_tpu.config import load_config
+
+    cfg = load_config(config_file)
+    cfg.run.update({"save_dir": args.save_dir})
+    return cfg
+
+
+def main():
+    args = get_args()
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M")
+    args.save_dir = os.path.join(args.save_dir, stamp)
+    log_dir = os.path.join(args.save_dir, "log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    cfg = read_config(args.config_file, args)
+    cfg.run.update({"log_dir": log_dir})
+
+    import jax
+
+    from cmh_tpu.registry import registry
+
+    world_size = jax.device_count()
+    if args.distribute:
+        assert world_size > 1, "distribute training needs more than one device!"
+        cfg.run.update({"distribute": True})
+
+    runner_cls = registry.get_runner_class(cfg.run.get("arch", "DCMHTTrainer"))
+    assert runner_cls is not None, f"unknown runner '{cfg.run.get('arch')}'"
+    runner_cls.from_config(
+        cfg=cfg, world_size=world_size, distributed=args.distribute
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""End-to-end slice: DCMHT on synthetic data, tiny CLIP, CPU.
+
+Asserts the full stack works: config → registry dispatch → dataset/loader →
+model init → jitted train steps (loss decreases) → eval code generation →
+4-direction mAP → .mat + model artifacts on disk.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from cmh_tpu.config import config_from_dict
+from cmh_tpu.models.clip.model import CLIPConfig
+from cmh_tpu.registry import registry
+
+
+def _tiny_cfg(tmp_path, epochs=1):
+    return config_from_dict(
+        {
+            "model": {"arch": "DCMHT", "clip_path": "/nonexistent.pt",
+                      "clip_variant": "tiny",
+                      "hash_func": "softmax", "quan_alpha": 0.001},
+            "optimizer": {"arch": "BertAdam", "lr": 0.002, "clip_lr": 0.0005,
+                          "warmup_proportion": 0.1, "schedule": "warmup_cosine"},
+            "dataset": {"arch": "synthetic_dataset", "name": "synthetic",
+                        "num_classes": 4, "image_resolution": 32,
+                        "max_word": 12},
+            "run": {"arch": "DCMHTTrainer", "save_dir": str(tmp_path),
+                    "log_dir": str(tmp_path / "log"), "output_dim": 8,
+                    "batch_size": 16, "is_train": True, "train_num": 48,
+                    "query_num": 16, "epochs": epochs, "display_step": 1000,
+                    "seed": 7},
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("e2e")
+    cfg = _tiny_cfg(tmp_path)
+    runner_cls = registry.get_runner_class("DCMHTTrainer")
+    tr = runner_cls.from_config(cfg=cfg, auto_run=False)
+    tr._tmp_path = tmp_path
+    return tr
+
+
+def test_train_loss_decreases(trainer):
+    losses = []
+    for _ in range(2):
+        import time
+
+        t0 = time.time()
+        first = None
+        for batch in trainer.train_loader:
+            import jax.numpy as jnp
+
+            db = {k: jnp.asarray(v) for k, v in batch.items()}
+            trainer.state, loss, _ = trainer._train_step(trainer.state, db)
+            if first is None:
+                first = float(loss)
+            losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # loss should drop over the run
+    assert np.mean(losses[-3:]) < losses[0], losses
+
+
+def test_valid_produces_maps_and_artifacts(trainer):
+    mapi2t, mapt2i, mapi2i, mapt2t = trainer.valid(epoch=0, k=None)
+    for m in (mapi2t, mapt2i, mapi2i, mapt2t):
+        assert 0.0 <= m <= 1.0
+    mat_dir = os.path.join(trainer.save_dir, "mat_files")
+    assert os.path.exists(os.path.join(mat_dir, "last.mat"))
+    import scipy.io as scio
+
+    mat = scio.loadmat(os.path.join(mat_dir, "last.mat"))
+    assert mat["q_img"].shape == (trainer.query_num, trainer.output_dim)
+    assert set(np.unique(mat["q_img"])) <= {-1.0, 1.0}
+    # best artifacts + weights-only model snapshot were written
+    assert any(f.startswith("model-") for f in os.listdir(trainer.save_dir))
+
+
+def test_model_roundtrip(trainer):
+    fn = [f for f in os.listdir(trainer.save_dir) if f.startswith("model-")][0]
+    path = os.path.join(trainer.save_dir, fn)
+    params, mstate = trainer.load_model_file(
+        path, trainer.state.params, trainer.state.model_state
+    )
+    import jax
+
+    leaves_a = jax.tree_util.tree_leaves(params)
+    leaves_b = jax.tree_util.tree_leaves(trainer.state.params)
+    assert len(leaves_a) == len(leaves_b)
+
+
+def test_checkpoint_roundtrip(trainer, tmp_path):
+    ckpt = str(tmp_path / "ckpt.msgpack")
+    step_before = int(trainer.state.step)
+    trainer.save_checkpoint(ckpt)
+    trainer.load_checkpoint(ckpt)
+    assert int(trainer.state.step) == step_before
