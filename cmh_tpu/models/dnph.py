@@ -1,0 +1,159 @@
+"""DNPH: deep noise-robust proxy hashing.
+
+Re-implementation of /root/reference/models/DNPH/{DNPH.py,hash/hash.py,
+loss/loss.py,loss/b_reg.py}: per-modality LinearHash (kaiming init →
+dropout → tanh) plus a classification Pre_Layer; loss =
+
+- proxy loss over concatenated (img, txt) codes: squared cdist to
+  L2-normalized proxies, +margin on positive classes, per-row
+  sum(-label·log_softmax(-D)) mean (loss.py:12-29),
+- cross-entropy of each modality's class logits vs argmax(label),
+- MINUS noise_alpha × mean dot-product between codes and random ±1 vectors
+  Hungarian-matched to the codes (maximize disagreement with noise;
+  DNPH.py:72-99). The Hungarian solve is a host callback
+  (``ops.hungarian``), everything else stays on device.
+
+Proxies are trained by a separate plain SGD (runners/DNPH/runner.py:86-92).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.hungarian import assign_noise, rand_unit_rect
+from ..registry import registry
+from .base import BaseHashModel, Method, resolve_clip_cfg
+from .clip.model import CLIP, CLIPConfig
+from .common import kaiming_dense
+
+
+class LinearHash(nn.Module):
+    """kaiming Dense → dropout(0.2) → tanh (reference hash/hash.py:9-19)."""
+
+    output_dim: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x = kaiming_dense(self.output_dim, name="fc")(x.astype(jnp.float32))
+        x = nn.Dropout(rate=self.dropout, deterministic=not train, name="drop")(x)
+        return jnp.tanh(x)
+
+
+class DNPHModel(BaseHashModel):
+    clip_cfg: CLIPConfig
+    output_dim: int = 16
+    numclass: int = 80
+
+    def setup(self):
+        self.backbone = CLIP(self.clip_cfg)
+        self.img_hash = LinearHash(self.output_dim, name="hash_img")
+        self.txt_hash = LinearHash(self.output_dim, name="hash_txt")
+        self.img_pre = kaiming_dense(self.numclass, name="pre_img")
+        self.txt_pre = kaiming_dense(self.numclass, name="pre_txt")
+        self.proxies = self.param(
+            "proxies",
+            lambda key, shape: jax.random.normal(key, shape) / 8.0,
+            (self.numclass, self.output_dim),
+        )
+
+    def encode_image(self, image, train: bool = True):
+        cls_token, _, _ = self.backbone.encode_image(image)
+        return self.img_hash(cls_token.astype(jnp.float32), train=train)
+
+    def encode_text(self, text, key_padding_mask=None, train: bool = True):
+        eos_token, _, _, _ = self.backbone.encode_text(text, key_padding_mask)
+        return self.txt_hash(eos_token.astype(jnp.float32), train=train)
+
+    def __call__(self, image, text, key_padding_mask=None, train: bool = True):
+        cls_token, _, _ = self.backbone.encode_image(image)
+        eos_token, _, _, _ = self.backbone.encode_text(text, key_padding_mask)
+        cls_token = cls_token.astype(jnp.float32)
+        eos_token = eos_token.astype(jnp.float32)
+        img_hash = self.img_hash(cls_token, train=train)
+        txt_hash = self.txt_hash(eos_token, train=train)
+        img_pre = self.img_pre(cls_token)
+        txt_pre = self.txt_pre(eos_token)
+        return img_hash, txt_hash, img_pre, txt_pre, self.proxies
+
+
+def _norm(x):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+def _cross_entropy(logits, target_idx):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, target_idx[:, None], axis=-1))
+
+
+def dnph_proxy_loss(img_hash, txt_hash, img_pre, txt_pre, proxies, labels,
+                    mrg: float = 1.0):
+    """Reference Loss.forward (loss/loss.py:12-29)."""
+    feature_all = jnp.concatenate([img_hash, txt_hash], axis=0)
+    label_all = jnp.concatenate([labels, labels], axis=0)
+    proxies_n = _norm(proxies)
+    feats = _norm(feature_all)
+    diff = feats[:, None, :] - proxies_n[None, :, :]
+    d = jnp.sum(diff * diff, axis=-1)  # cdist²
+    d = d + mrg * (label_all == 1)
+    p_loss = jnp.mean(jnp.sum(-label_all * jax.nn.log_softmax(-d, axis=1), axis=-1))
+
+    target = jnp.argmax(labels, axis=-1)
+    d_loss = _cross_entropy(img_pre, target) + _cross_entropy(txt_pre, target)
+    return p_loss + d_loss
+
+
+def dnph_loss_fn(*, mrg: float, noise_alpha: float, noise_key: jax.Array):
+    def loss(outputs, batch, method_state, step):
+        img_hash, txt_hash, img_pre, txt_pre, proxies = outputs
+        labels = batch["label"]
+        loss1 = dnph_proxy_loss(
+            img_hash, txt_hash, img_pre, txt_pre, proxies, labels, mrg=mrg
+        )
+
+        b, k = img_hash.shape
+        key = jax.random.fold_in(noise_key, step)
+        s_vector = rand_unit_rect(key, b, k)
+        # assignment on detached codes (reference detaches to numpy,
+        # DNPH.py:80-84); gradient flows only through the dot product
+        i_noise = assign_noise(jax.lax.stop_gradient(img_hash), s_vector)
+        t_noise = assign_noise(jax.lax.stop_gradient(txt_hash), s_vector)
+        i_noise_loss = jnp.mean(jnp.sum(img_hash * i_noise, axis=-1))
+        t_noise_loss = jnp.mean(jnp.sum(txt_hash * t_noise, axis=-1))
+        noise_loss = i_noise_loss + t_noise_loss
+
+        total = loss1 - noise_alpha * noise_loss
+        loss_dict = {
+            "All loss": total,
+            "Noise": {"image": i_noise_loss, "text": t_noise_loss},
+        }
+        return total, loss_dict, method_state
+
+    return loss
+
+
+@registry.register_model("DNPH")
+class DNPHMethod(Method):
+    arch = "DNPH"
+    code_mode = "sign"
+
+    @classmethod
+    def from_config(cls, cfg_model, output_dim: int = 16, train_num: int = 10000,
+                    clip_cfg: Optional[CLIPConfig] = None) -> "DNPHMethod":
+        clip_cfg = resolve_clip_cfg(cfg_model, clip_cfg)
+        numclass = cfg_model.get("numclass", 80) if cfg_model else 80
+        mrg = cfg_model.get("mrg", 1.0) if cfg_model else 1.0
+        noise_alpha = cfg_model.get("noise_alpha", 1.0) if cfg_model else 1.0
+        module = DNPHModel(
+            clip_cfg=clip_cfg, output_dim=output_dim, numclass=numclass
+        )
+        loss = dnph_loss_fn(
+            mrg=mrg, noise_alpha=noise_alpha,
+            noise_key=jax.random.PRNGKey(cfg_model.get("noise_seed", 0)
+                                         if cfg_model else 0),
+        )
+        return cls(module=module, loss=loss, cfg_model=cfg_model, train_num=train_num)

@@ -101,6 +101,15 @@ class BaseTrainer:
         self.calc_map_k = calc_map_k
         self._t_total = -1
 
+        # device mesh for data parallelism (replaces DDP/NCCL — see
+        # parallel/mesh.py); single-device runs use no mesh
+        self.mesh = None
+        if distributed or cfg.run.get("distribute", False):
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n_devices=world_size if world_size > 1 else None)
+            self.logger.info(f"mesh: {self.mesh}")
+
         self.build_dataset(
             cfg.dataset,
             train_num=train_num,
@@ -242,20 +251,23 @@ class BaseTrainer:
         method = self.method
         tx = self.tx
         mutable_keys = list(self._model_state0.keys())
+        self.rng, dropout_base = jax.random.split(self.rng)
 
         def train_step(state: TrainState, batch):
+            rngs = {"dropout": jax.random.fold_in(dropout_base, state.step)}
+
             def loss_fn(params):
                 variables = {"params": params, **state.model_state}
                 if mutable_keys:
                     outputs, new_model_state = method.module.apply(
                         variables, batch["image"], batch["text"],
                         batch["key_padding_mask"], train=True,
-                        mutable=mutable_keys,
+                        mutable=mutable_keys, rngs=rngs,
                     )
                 else:
                     outputs = method.module.apply(
                         variables, batch["image"], batch["text"],
-                        batch["key_padding_mask"], train=True,
+                        batch["key_padding_mask"], train=True, rngs=rngs,
                     )
                     new_model_state = {}
                 loss, loss_dict, new_method_state = method.loss(
@@ -291,8 +303,27 @@ class BaseTrainer:
             )
             return img, txt
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
-        self._encode_step = jax.jit(encode_step)
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            rep = replicated(self.mesh)
+            shard = batch_sharding(self.mesh)
+            # state replicated, batch sharded over dp; outputs replicated —
+            # XLA inserts the gradient psum and eval-code all-gather on ICI
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(rep, shard),
+                out_shardings=(rep, rep, rep),
+                donate_argnums=(0,),
+            )
+            self._encode_step = jax.jit(
+                encode_step,
+                in_shardings=(rep, rep, shard),
+                out_shardings=(rep, rep),
+            )
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._encode_step = jax.jit(encode_step)
 
     # ------------------------------------------------------------------- run
     def run(self):

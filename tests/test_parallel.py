@@ -1,0 +1,82 @@
+"""Multi-device data parallelism on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmh_tpu.config import config_from_dict
+from cmh_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from cmh_tpu.registry import registry
+
+
+def test_mesh_has_8_cpu_devices():
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    assert mesh.shape["dp"] == 8
+    assert mesh.shape["tp"] == 1
+
+
+def test_sharded_matmul_runs():
+    mesh = make_mesh()
+    x = jnp.arange(16 * 4, dtype=jnp.float32).reshape(16, 4)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    f = jax.jit(lambda a: (a @ a.T).sum(), out_shardings=replicated(mesh))
+    np.testing.assert_allclose(float(f(xs)), float((x @ x.T).sum()), rtol=1e-6)
+
+
+def _dp_cfg(tmp_path, batch_size=16):
+    return config_from_dict(
+        {
+            "model": {"arch": "DCMHT", "clip_path": "/nonexistent.pt",
+                      "clip_variant": "tiny", "hash_func": "softmax"},
+            "optimizer": {"arch": "BertAdam", "lr": 0.002, "clip_lr": 0.0005},
+            "dataset": {"arch": "synthetic_dataset", "name": "synthetic",
+                        "num_classes": 4, "image_resolution": 32,
+                        "max_word": 12},
+            "run": {"arch": "DCMHTTrainer", "save_dir": str(tmp_path),
+                    "log_dir": str(tmp_path / "log"), "output_dim": 8,
+                    "batch_size": batch_size, "is_train": True, "train_num": 32,
+                    "query_num": 16, "epochs": 1, "display_step": 1000,
+                    "seed": 3, "distribute": True},
+        }
+    )
+
+
+def test_dp_trainer_step_and_eval(tmp_path):
+    """Full DP path: mesh-sharded train step + eval code generation."""
+    cfg = _dp_cfg(tmp_path)
+    runner_cls = registry.get_runner_class("DCMHTTrainer")
+    tr = runner_cls.from_config(cfg=cfg, world_size=8, distributed=True,
+                                auto_run=False)
+    assert tr.mesh is not None
+    batch = next(iter(tr.train_loader))
+    db = shard_batch(batch, tr.mesh)
+    state, loss, _ = tr._train_step(tr.state, db)
+    assert np.isfinite(float(loss))
+    tr.state = state
+    maps = tr.valid(epoch=0)
+    assert all(0.0 <= m <= 1.0 for m in maps)
+
+
+def test_dp_matches_single_device(tmp_path):
+    """The mesh-sharded step produces the same loss/params as single-device
+    (global-batch semantics — stronger than the reference's DDP, which loses
+    cross-shard pairs)."""
+    runner_cls = registry.get_runner_class("DCMHTTrainer")
+
+    cfg1 = _dp_cfg(tmp_path / "a")
+    cfg1.run.update({"distribute": False})
+    tr1 = runner_cls.from_config(cfg=cfg1, auto_run=False)
+
+    cfg2 = _dp_cfg(tmp_path / "b")
+    tr2 = runner_cls.from_config(cfg=cfg2, world_size=8, distributed=True,
+                                 auto_run=False)
+
+    batch = next(iter(tr1.train_loader))
+    db1 = {k: jnp.asarray(v) for k, v in batch.items()}
+    db2 = shard_batch(batch, tr2.mesh)
+    _, loss1, _ = tr1._train_step(tr1.state, db1)
+    _, loss2, _ = tr2._train_step(tr2.state, db2)
+    # same seed → same init → identical loss up to reduction order
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
