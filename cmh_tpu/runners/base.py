@@ -185,6 +185,9 @@ class BaseTrainer:
         self.method: Method = method_cls.from_config(
             cfg_model, output_dim=output_dim, train_num=self.train_num
         )
+        # methods with train-set-sized state (MITH memory banks, TwDH
+        # centers) need the label matrix before init_method_state runs
+        self.method.train_labels = self.train_labels
 
         sample = next(iter(self.query_loader))
         self.rng, init_key = jax.random.split(self.rng)
