@@ -88,10 +88,20 @@ def bench_encode(batch=64, iters=5):
 
 
 def main():
+    import sys
+
+    def stage(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    stage("hamming kernel")
     hamming_rate, _ = bench_hamming(bits=64)
+    stage(f"hamming: {hamming_rate:.3e} cmp/s")
     map_time_64 = bench_map_eval(bits=64)
+    stage(f"map64: {map_time_64:.2f}s")
     map_time_16 = bench_map_eval(bits=16)
+    stage(f"map16: {map_time_16:.2f}s")
     encode_rate = bench_encode()
+    stage(f"encode: {encode_rate:.1f} pairs/s")
 
     result = {
         "metric": "hamming_comparisons_per_sec_per_chip",

@@ -1,0 +1,161 @@
+"""TwDH trainer (reference /root/reference/runners/TwDH/runner.py).
+
+Overrides the eval path: code buffers exist for the long code AND for each
+short dim (runner.py:145-180), with independent best-mAP tracking per short
+dim (runner.py:42-46,195-229). The reference's distributed branch calls
+``dist.all_reduce`` on python dicts (runner.py:176-177) which would crash —
+here the mesh path all-gathers inside jit, so the multi-dim dict needs no
+special casing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..registry import registry
+from .base import BaseTrainer
+
+
+@registry.register_runner("TwDHTrainer")
+class TwDHTrainer(BaseTrainer):
+    def __init__(self, cfg, **kwargs):
+        self.hash_func = cfg.model.get("hash_func", "softmax")
+        assert self.hash_func == "softmax", (
+            "TwDH must adopt the 'softmax' hash technique."
+        )
+        self.hash_scale = 2
+        self.long_dim = cfg.model.get("long_dim", 512)
+        self.max_short = {}
+        self.best_epoch_short = {}
+        super().__init__(cfg, **kwargs)
+        for item in self.method.short_dims:
+            self.max_short[str(item)] = {"i2t": 0.0, "t2i": 0.0}
+            self.best_epoch_short[str(item)] = {"i2t": 0, "t2i": 0}
+
+    def _compile_steps(self):
+        super()._compile_steps()
+        method = self.method
+
+        def encode_step(params, model_state, method_state, batch):
+            variables = {"params": params, **model_state}
+            trans = method_state["trans"]
+            img_long, img_short = method.module.apply(
+                variables, batch["image"], train=False, trans=trans,
+                method=lambda m, x, train, trans: m.encode_image(
+                    x, train=train, trans=trans
+                ),
+            )
+            txt_long, txt_short = method.module.apply(
+                variables, batch["text"], batch["key_padding_mask"],
+                train=False, trans=trans,
+                method=lambda m, t, k, train, trans: m.encode_text(
+                    t, k, train=train, trans=trans
+                ),
+            )
+            return img_long, img_short, txt_long, txt_short
+
+        self._encode_multi = jax.jit(encode_step)
+
+    def get_code(self, data_loader, length: int):
+        short_dims = self.method.short_dims
+        long_img = np.zeros((length, self.long_dim), dtype=np.float32)
+        long_txt = np.zeros((length, self.long_dim), dtype=np.float32)
+        short_img = {str(d): np.zeros((length, d), np.float32) for d in short_dims}
+        short_txt = {str(d): np.zeros((length, d), np.float32) for d in short_dims}
+
+        code = self.method.make_hash_code
+        for batch in data_loader:
+            db = {k: jnp.asarray(v) for k, v in batch.items()}
+            il, ish, tl, tsh = self._encode_multi(
+                self.state.params, self.state.model_state,
+                self.state.method_state, db,
+            )
+            valid = batch["valid"]
+            idx = batch["index"][valid]
+            long_img[idx] = np.asarray(code(il))[valid]
+            long_txt[idx] = np.asarray(code(tl))[valid]
+            for k in ish:
+                short_img[k][idx] = np.asarray(code(ish[k]))[valid]
+                short_txt[k][idx] = np.asarray(code(tsh[k]))[valid]
+        return (jnp.asarray(long_img), jnp.asarray(long_txt),
+                {k: jnp.asarray(v) for k, v in short_img.items()},
+                {k: jnp.asarray(v) for k, v in short_txt.items()})
+
+    def valid(self, epoch: int, k: Optional[int] = None):
+        save_dir = os.path.join(self.save_dir, "mat_files")
+        os.makedirs(save_dir, exist_ok=True)
+        self.logger.info("Valid.")
+        q_li, q_lt, q_si, q_st = self.get_code(self.query_loader, self.query_num)
+        r_li, r_lt, r_si, r_st = self.get_code(
+            self.retrieval_loader, self.retrieval_num
+        )
+        results = [self.valid_each(epoch, q_li, q_lt, r_li, r_lt, k, save_dir)]
+        for key in q_si:
+            results.append(
+                self.valid_each(epoch, q_si[key], q_st[key], r_si[key],
+                                r_st[key], k, save_dir, short=key)
+            )
+        return results[0]
+
+    def valid_each(self, epoch, query_img, query_txt, retrieval_img,
+                   retrieval_txt, k=None, save_dir=None, short=None):
+        mapi2t = self.calc_map_k(query_img, retrieval_txt, self.query_labels,
+                                 self.retrieval_labels, k)
+        mapt2i = self.calc_map_k(query_txt, retrieval_img, self.query_labels,
+                                 self.retrieval_labels, k)
+        mapi2i = self.calc_map_k(query_img, retrieval_img, self.query_labels,
+                                 self.retrieval_labels, k)
+        mapt2t = self.calc_map_k(query_txt, retrieval_txt, self.query_labels,
+                                 self.retrieval_labels, k)
+        if short is None:
+            if self.max_mapi2t < mapi2t:
+                self.best_epoch_i = epoch
+                self.save_mat(query_img, query_txt, self.query_labels,
+                              retrieval_img, retrieval_txt, self.retrieval_labels,
+                              save_file=os.path.join(save_dir, "i2t-long.mat"))
+                self.save_model(self.save_dir, epoch)
+            self.max_mapi2t = max(self.max_mapi2t, mapi2t)
+            if self.max_mapt2i < mapt2i:
+                self.best_epoch_t = epoch
+                self.save_mat(query_img, query_txt, self.query_labels,
+                              retrieval_img, retrieval_txt, self.retrieval_labels,
+                              save_file=os.path.join(save_dir, "t2i-long.mat"))
+                self.save_model(self.save_dir, epoch)
+            self.max_mapt2i = max(self.max_mapt2i, mapt2i)
+            self.logger.info(
+                f">>>>>> [{epoch}/{self.epochs}], Long, {query_img.shape[-1]} Bit, "
+                f"MAP(i->t): {mapi2t}, MAP(t->i): {mapt2i}, MAP(t->t): {mapt2t}, "
+                f"MAP(i->i): {mapi2i}, MAX MAP(i->t): {self.max_mapi2t}, "
+                f"epoch: {self.best_epoch_i}, MAX MAP(t->i): {self.max_mapt2i}, "
+                f"epoch: {self.best_epoch_t}"
+            )
+        else:
+            track = self.max_short[short]
+            if track["i2t"] < mapi2t:
+                self.best_epoch_short[short]["i2t"] = epoch
+                self.save_mat(query_img, query_txt, self.query_labels,
+                              retrieval_img, retrieval_txt, self.retrieval_labels,
+                              save_file=os.path.join(save_dir,
+                                                     f"i2t-short-{short}.mat"))
+            track["i2t"] = max(track["i2t"], mapi2t)
+            if track["t2i"] < mapt2i:
+                self.best_epoch_short[short]["t2i"] = epoch
+                self.save_mat(query_img, query_txt, self.query_labels,
+                              retrieval_img, retrieval_txt, self.retrieval_labels,
+                              save_file=os.path.join(save_dir,
+                                                     f"t2i-short-{short}.mat"))
+            track["t2i"] = max(track["t2i"], mapt2i)
+            self.logger.info(
+                f">>>>>> [{epoch}/{self.epochs}], Short, {query_img.shape[-1]} Bit, "
+                f"MAP(i->t): {mapi2t}, MAP(t->i): {mapt2i}, MAP(t->t): {mapt2t}, "
+                f"MAP(i->i): {mapi2i}, MAX MAP(i->t): {track['i2t']}, "
+                f"epoch: {self.best_epoch_short[short]['i2t']}, "
+                f"MAX MAP(t->i): {track['t2i']}, "
+                f"epoch: {self.best_epoch_short[short]['t2i']}"
+            )
+        return mapi2t, mapt2i, mapi2i, mapt2t
