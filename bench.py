@@ -17,6 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: TPU programs (especially the big eval sorts)
+# compile once per machine, not once per process
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _sync(x):
     jax.block_until_ready(x)

@@ -109,9 +109,10 @@ class MultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,                       # (B, L, D)
-        attn_mask: Optional[jax.Array] = None,        # (L, L) additive
-        key_padding_mask: Optional[jax.Array] = None,  # (B, L) bool, True=pad
+        x: jax.Array,                       # (B, L, D) queries
+        attn_mask: Optional[jax.Array] = None,        # (L, S) additive
+        key_padding_mask: Optional[jax.Array] = None,  # (B, S) bool, True=pad
+        kv: Optional[jax.Array] = None,     # (B, S, D) keys/values (cross-attn)
     ) -> Tuple[jax.Array, jax.Array]:
         b, l, d = x.shape
         h = self.heads
@@ -130,11 +131,25 @@ class MultiHeadAttention(nn.Module):
         out_bias = self.param("out_proj_bias", nn.initializers.zeros, (d,), jnp.float32)
 
         xc = x.astype(self.dtype)
-        qkv = jnp.matmul(xc, in_proj.astype(self.dtype)) + in_bias.astype(self.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if kv is None:
+            qkv = jnp.matmul(xc, in_proj.astype(self.dtype)) + in_bias.astype(
+                self.dtype
+            )
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            # cross-attention: same packed layout as torch MHA — query from x,
+            # key/value from the memory sequence
+            kvc = kv.astype(self.dtype)
+            wq, wk, wv = jnp.split(in_proj.astype(self.dtype), 3, axis=-1)
+            bq, bk, bv = jnp.split(in_bias.astype(self.dtype), 3)
+            q = jnp.matmul(xc, wq) + bq
+            k = jnp.matmul(kvc, wk) + bk
+            v = jnp.matmul(kvc, wv) + bv
+        s = k.shape[1]
 
         def heads_split(t):
-            return t.reshape(b, l, h, hd).transpose(0, 2, 1, 3)  # (B, H, L, hd)
+            ln = t.shape[1]
+            return t.reshape(b, ln, h, hd).transpose(0, 2, 1, 3)  # (B,H,L,hd)
 
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
         scale = hd**-0.5
