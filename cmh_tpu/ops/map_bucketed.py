@@ -1,0 +1,146 @@
+"""Sort-free exact mAP over Hamming rankings (counting-rank formulation).
+
+The generic mAP path (`metrics.calc_map_k`) argsorts each query's gallery —
+O(N log N) comparisons per query and the dominant cost of evaluation at coco
+scale. Hamming distances, however, are integers in [0, K], so the exact rank
+of every item under the reference's stable ordering (distance ascending, ties
+by original gallery index — calc_utils.py:72-77 with a stable sort) can be
+*counted* instead of sorted:
+
+    N_rank(i) = #{j : d_j < d_i}  +  #{j ≤ i : d_j == d_i}
+    R_rank(i) = the same counts restricted to relevant items
+    AP = (1/total) · Σ_{relevant i, R_rank(i) ≤ total} R_rank(i) / N_rank(i)
+
+Two blocked passes over the gallery: (1) global per-distance histograms →
+strictly-smaller prefix counts; (2) a scan carrying per-distance counts of
+earlier blocks, with an L×L within-block tie-prefix. Everything is dense
+matmul/cumsum work on integer-valued fp32 — no sort anywhere. Exact for
+counts below 2^24 (gallery sizes ≪ 16.7M).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .metrics import calc_hamming_dist, calc_label_sim
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bits", "block"))
+def _map_chunk_bucketed(
+    q_codes: jax.Array,   # (C, K) ±1
+    r_codes: jax.Array,   # (N, K) ±1
+    gnd: jax.Array,       # (C, N) 0/1
+    valid: jax.Array,     # (C,) 0/1
+    k: Optional[int],
+    bits: int,
+    block: int = 256,
+) -> jax.Array:
+    c, n = gnd.shape
+    v = bits + 1
+    d = calc_hamming_dist(q_codes, r_codes).astype(jnp.int32)   # (C, N)
+
+    n_pad = ((n + block - 1) // block) * block
+    pad = n_pad - n
+    if pad:
+        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=bits)
+        gnd = jnp.pad(gnd, ((0, 0), (0, pad)))
+    item_mask = (jnp.arange(n_pad) < n).astype(jnp.float32)      # (n_pad,)
+    blocks = n_pad // block
+
+    d_blocks = d.reshape(c, blocks, block).transpose(1, 0, 2)    # (B, C, L)
+    g_blocks = gnd.reshape(c, blocks, block).transpose(1, 0, 2)
+    m_blocks = item_mask.reshape(blocks, block)                  # (B, L)
+
+    # ---------------------------------------------------------------- pass 1
+    def hist_body(carry, xs):
+        hist, rhist = carry
+        d_b, g_b, m_b = xs
+        oh = jax.nn.one_hot(d_b, v, dtype=jnp.float32) * m_b[None, :, None]
+        hist = hist + jnp.sum(oh, axis=1)
+        rhist = rhist + jnp.sum(oh * g_b[:, :, None], axis=1)
+        return (hist, rhist), None
+
+    (hist, rhist), _ = jax.lax.scan(
+        hist_body,
+        (jnp.zeros((c, v)), jnp.zeros((c, v))),
+        (d_blocks, g_blocks, m_blocks),
+    )
+    tsum = jnp.sum(rhist, axis=-1)                               # (C,)
+    total = tsum if k is None else jnp.minimum(tsum, jnp.float32(k))
+    # counts of strictly smaller distances (exclusive prefix over v)
+    less = jnp.cumsum(hist, axis=-1) - hist
+    less_r = jnp.cumsum(rhist, axis=-1) - rhist
+
+    # ---------------------------------------------------------------- pass 2
+    tril = jnp.tril(jnp.ones((block, block), jnp.float32))       # j ≤ l
+
+    def ap_body(carry, xs):
+        eq_prev, eqr_prev, acc = carry
+        d_b, g_b, m_b = xs                                       # (C,L),(C,L),(L,)
+        g_b = g_b * m_b[None, :]
+        eq = (d_b[:, :, None] == d_b[:, None, :]).astype(jnp.float32)
+        eq = eq * m_b[None, None, :]
+        # within-block inclusive tie-prefix: Σ_{j≤l} [d_j == d_l]
+        within = jnp.einsum("clj,lj->cl", eq, tril)
+        within_r = jnp.einsum("clj,cj,lj->cl", eq, g_b, tril)
+
+        base = less + eq_prev                                    # (C, V)
+        base_r = less_r + eqr_prev
+        n_rank = jnp.take_along_axis(base, d_b, axis=1) + within
+        r_rank = jnp.take_along_axis(base_r, d_b, axis=1) + within_r
+
+        contrib = g_b * (r_rank <= total[:, None]) * r_rank / jnp.maximum(
+            n_rank, 1.0
+        )
+        acc = acc + jnp.sum(contrib, axis=1)
+
+        oh = jax.nn.one_hot(d_b, v, dtype=jnp.float32) * m_b[None, :, None]
+        eq_prev = eq_prev + jnp.sum(oh, axis=1)
+        eqr_prev = eqr_prev + jnp.sum(oh * g_b[:, :, None], axis=1)
+        return (eq_prev, eqr_prev, acc), None
+
+    (_, _, ap_sum), _ = jax.lax.scan(
+        ap_body,
+        (jnp.zeros((c, v)), jnp.zeros((c, v)), jnp.zeros((c,))),
+        (d_blocks, g_blocks, m_blocks),
+    )
+    ap = jnp.where(total > 0, ap_sum / jnp.maximum(total, 1.0), 0.0)
+    return jnp.sum(ap * valid)
+
+
+MAX_BUCKETED_BITS = 256
+
+
+def calc_map_k_bucketed(
+    q_b, r_b, query_labels, retrieval_labels,
+    k: Optional[int] = None, chunk: int = 512, block: int = 256,
+) -> float:
+    """Exact reference-equivalent mAP via counting ranks (K ≤ 256 bits)."""
+    q_b = jnp.asarray(q_b, jnp.float32)
+    r_b = jnp.asarray(r_b, jnp.float32)
+    ql = jnp.asarray(query_labels, jnp.float32)
+    rl = jnp.asarray(retrieval_labels, jnp.float32)
+    bits = int(q_b.shape[1])
+    assert bits <= MAX_BUCKETED_BITS
+
+    num_query = q_b.shape[0]
+    chunk = min(chunk, num_query)
+    total_ap = 0.0
+    for start in range(0, num_query, chunk):
+        stop = min(start + chunk, num_query)
+        size = stop - start
+        qc = q_b[start:stop]
+        lc = ql[start:stop]
+        if size < chunk:
+            qc = jnp.pad(qc, ((0, chunk - size), (0, 0)), constant_values=1.0)
+            lc = jnp.pad(lc, ((0, chunk - size), (0, 0)))
+        valid = (jnp.arange(chunk) < size).astype(jnp.float32)
+        gnd = calc_label_sim(lc, rl)
+        total_ap += float(
+            _map_chunk_bucketed(qc, r_b, gnd, valid, k, bits, block)
+        )
+    return total_ap / num_query

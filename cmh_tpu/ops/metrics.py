@@ -142,6 +142,13 @@ def calc_map_k(
     ql = jnp.asarray(query_labels, dtype=jnp.float32)
     rl = jnp.asarray(retrieval_labels, dtype=jnp.float32)
 
+    # Hamming distances are small ints: the counting-rank path computes the
+    # identical mAP without the O(N log N) per-query sort (map_bucketed.py)
+    if q_b.shape[1] <= 256:
+        from .map_bucketed import calc_map_k_bucketed
+
+        return calc_map_k_bucketed(q_b, r_b, ql, rl, k=k)
+
     num_query = q_b.shape[0]
     chunk = min(chunk, num_query)
     total_ap = 0.0
