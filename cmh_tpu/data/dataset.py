@@ -86,9 +86,13 @@ class TransformerDataset(BaseDataset):
         captions = self.captions[index]
         pick = self.rng.randint(0, len(captions)) if len(captions) > 1 else 0
         caption = captions[pick]
+        # .mat cell arrays round-trip as nested object arrays — unwrap
+        while isinstance(caption, np.ndarray):
+            caption = caption[0] if caption.size else ""
         if isinstance(caption, bytes):
             caption = caption.decode("utf-8")
-        return tokenize_caption(self.tokenizer, str(caption), self.max_words)
+        return tokenize_caption(self.tokenizer, str(caption).strip(),
+                                self.max_words)
 
     def _load_label(self, index: int) -> np.ndarray:
         return np.asarray(self.labels[index], dtype=np.int64)

@@ -12,6 +12,8 @@ on PIL images + numpy, emitting HWC float32 — the TPU-native conv layout.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from PIL import Image
 
@@ -61,11 +63,60 @@ def random_resized_crop(
     return img.resize((size, size), Image.BILINEAR, box=(j, i, j + w, i + h))
 
 
+def sample_crop_box(height, width, rng, scale=(0.08, 1.0),
+                    ratio=(3.0 / 4.0, 4.0 / 3.0)):
+    """torchvision RandomResizedCrop.get_params: (y, x, h, w)."""
+    area = height * width
+    log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = np.exp(rng.uniform(log_ratio[0], log_ratio[1]))
+        w = int(round(np.sqrt(target_area * aspect)))
+        h = int(round(np.sqrt(target_area / aspect)))
+        if 0 < w <= width and 0 < h <= height:
+            i = rng.randint(0, height - h + 1)
+            j = rng.randint(0, width - w + 1)
+            return i, j, h, w
+    in_ratio = width / height
+    if in_ratio < ratio[0]:
+        w, h = width, int(round(width / ratio[0]))
+    elif in_ratio > ratio[1]:
+        h, w = height, int(round(height * ratio[1]))
+    else:
+        w, h = width, height
+    return (height - h) // 2, (width - w) // 2, h, w
+
+
+def _use_native() -> bool:
+    if os.environ.get("CMH_TPU_NO_NATIVE"):
+        return False
+    from .. import native
+
+    return native.available()
+
+
 def train_transform(
     img: Image.Image, size: int, rng: np.random.RandomState
 ) -> np.ndarray:
-    """RandomHorizontalFlip(0.5) → RandomResizedCrop(size) → normalize."""
-    if rng.rand() < 0.5:
+    """RandomHorizontalFlip(0.5) → RandomResizedCrop(size) → normalize.
+
+    Uses the fused native C++ kernel (cmh_tpu/native) when available: one
+    pass over the pixels instead of PIL flip + crop-resize + numpy
+    normalize. The flip is applied before the crop like the reference's
+    Compose order (transformer_dataset.py:37-38).
+    """
+    flip = bool(rng.rand() < 0.5)
+    if _use_native():
+        from .. import native
+
+        arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        if flip:
+            arr = arr[:, ::-1]
+        box = sample_crop_box(arr.shape[0], arr.shape[1], rng)
+        return native.crop_resize_normalize(
+            arr, box, size, native.BILINEAR, CLIP_MEAN, CLIP_STD, flip=False
+        )
+    if flip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     img = random_resized_crop(img, size, rng)
     return normalize(np.asarray(img))
@@ -73,5 +124,12 @@ def train_transform(
 
 def eval_transform(img: Image.Image, size: int) -> np.ndarray:
     """Resize((size, size), bicubic) → normalize."""
+    if _use_native():
+        from .. import native
+
+        arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        return native.resize_normalize(
+            arr, size, native.BICUBIC, CLIP_MEAN, CLIP_STD
+        )
     img = img.resize((size, size), Image.BICUBIC)
     return normalize(np.asarray(img))

@@ -39,6 +39,7 @@ def _map_chunk_bucketed(
     bits: int,
     block: int = 256,
 ) -> jax.Array:
+    assert block <= 256, "bf16 tie-prefix counts are exact only up to 256"
     c, n = gnd.shape
     v = bits + 1
     d = calc_hamming_dist(q_codes, r_codes).astype(jnp.int32)   # (C, N)
@@ -59,9 +60,13 @@ def _map_chunk_bucketed(
     def hist_body(carry, xs):
         hist, rhist = carry
         d_b, g_b, m_b = xs
-        oh = jax.nn.one_hot(d_b, v, dtype=jnp.float32) * m_b[None, :, None]
-        hist = hist + jnp.sum(oh, axis=1)
-        rhist = rhist + jnp.sum(oh * g_b[:, :, None], axis=1)
+        oh = jax.nn.one_hot(d_b, v, dtype=jnp.bfloat16) * m_b[None, :, None].astype(
+            jnp.bfloat16
+        )
+        hist = hist + jnp.sum(oh, axis=1).astype(jnp.float32)
+        rhist = rhist + jnp.sum(
+            oh * g_b[:, :, None].astype(jnp.bfloat16), axis=1
+        ).astype(jnp.float32)
         return (hist, rhist), None
 
     (hist, rhist), _ = jax.lax.scan(
@@ -76,31 +81,37 @@ def _map_chunk_bucketed(
     less_r = jnp.cumsum(rhist, axis=-1) - rhist
 
     # ---------------------------------------------------------------- pass 2
-    tril = jnp.tril(jnp.ones((block, block), jnp.float32))       # j ≤ l
-
     def ap_body(carry, xs):
         eq_prev, eqr_prev, acc = carry
         d_b, g_b, m_b = xs                                       # (C,L),(C,L),(L,)
         g_b = g_b * m_b[None, :]
-        eq = (d_b[:, :, None] == d_b[:, None, :]).astype(jnp.float32)
-        eq = eq * m_b[None, None, :]
-        # within-block inclusive tie-prefix: Σ_{j≤l} [d_j == d_l]
-        within = jnp.einsum("clj,lj->cl", eq, tril)
-        within_r = jnp.einsum("clj,cj,lj->cl", eq, g_b, tril)
+        # within-block inclusive tie-prefix: Σ_{j≤l} [d_j == d_l] is the
+        # cumulative per-distance count gathered at each item's own distance.
+        # Counts within a block are ≤ block ≤ 256 → exact in bf16, halving
+        # the traffic of the (C, L, V) cumsum that dominates this pass.
+        oh = jax.nn.one_hot(d_b, v, dtype=jnp.bfloat16) * m_b[None, :, None].astype(
+            jnp.bfloat16
+        )
+        oh_r = oh * g_b[:, :, None].astype(jnp.bfloat16)
+        cums = jnp.cumsum(oh, axis=1)                            # (C, L, V)
+        cums_r = jnp.cumsum(oh_r, axis=1)
+        # "gather at own distance" as Σ_v oh·x — TPU gathers serialize,
+        # one-hot contractions stay vectorized on the VPU
+        within = jnp.sum(cums * oh, axis=2, dtype=jnp.float32)
+        within_r = jnp.sum(cums_r * oh, axis=2, dtype=jnp.float32)
 
-        base = less + eq_prev                                    # (C, V)
+        base = less + eq_prev                                    # (C, V) fp32
         base_r = less_r + eqr_prev
-        n_rank = jnp.take_along_axis(base, d_b, axis=1) + within
-        r_rank = jnp.take_along_axis(base_r, d_b, axis=1) + within_r
+        ohf = oh.astype(jnp.float32)
+        n_rank = jnp.einsum("cv,clv->cl", base, ohf) + within
+        r_rank = jnp.einsum("cv,clv->cl", base_r, ohf) + within_r
 
         contrib = g_b * (r_rank <= total[:, None]) * r_rank / jnp.maximum(
             n_rank, 1.0
         )
         acc = acc + jnp.sum(contrib, axis=1)
-
-        oh = jax.nn.one_hot(d_b, v, dtype=jnp.float32) * m_b[None, :, None]
-        eq_prev = eq_prev + jnp.sum(oh, axis=1)
-        eqr_prev = eqr_prev + jnp.sum(oh * g_b[:, :, None], axis=1)
+        eq_prev = eq_prev + cums[:, -1, :].astype(jnp.float32)
+        eqr_prev = eqr_prev + cums_r[:, -1, :].astype(jnp.float32)
         return (eq_prev, eqr_prev, acc), None
 
     (_, _, ap_sum), _ = jax.lax.scan(
