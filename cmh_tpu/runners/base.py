@@ -98,6 +98,13 @@ class BaseTrainer:
         self.best_epoch_t = 0
         self.loss_type = kwargs.get("loss_type", "l1")
 
+        # observability: optional XLA profiler trace of the first train steps
+        # (the reference has no profiling — SURVEY.md §5); view with
+        # tensorboard/xprof or perfetto
+        self.profile_dir = cfg.run.get("profile_dir", None)
+        self.profile_steps = cfg.run.get("profile_steps", 5)
+        self._profiling = False
+
         self.calc_map_k = calc_map_k
         self._t_total = -1
 
@@ -328,6 +335,14 @@ class BaseTrainer:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
             self._encode_step = jax.jit(encode_step)
 
+    def _put_batch(self, batch):
+        """Host batch → device(s): sharded over the dp axis under a mesh."""
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            return shard_batch(batch, self.mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
     # ------------------------------------------------------------------- run
     def run(self):
         if self.is_train:
@@ -353,10 +368,18 @@ class BaseTrainer:
         for batch in self.train_loader:
             self.global_step += 1
             times += 1
-            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if self.profile_dir and self.global_step == 2 and not self._profiling:
+                jax.profiler.start_trace(self.profile_dir)
+                self._profiling = True
+            device_batch = self._put_batch(batch)
             self.state, loss, loss_dict = self._train_step(self.state, device_batch)
             all_loss += float(loss)
             examples += int(batch["valid"].sum())
+            if self._profiling and self.global_step >= 2 + self.profile_steps:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                self._profiling = False
+                self.logger.info(f"profiler trace written to {self.profile_dir}")
             if self.global_step % self.display_step == 0:
                 self.print_loss_dict(
                     jax.tree_util.tree_map(float, loss_dict),
@@ -389,7 +412,7 @@ class BaseTrainer:
         img_buffer = np.zeros((length, k), dtype=np.float32)
         txt_buffer = np.zeros((length, k), dtype=np.float32)
         for batch in data_loader:
-            device_batch = {kk: jnp.asarray(v) for kk, v in batch.items()}
+            device_batch = self._put_batch(batch)
             img_hash, txt_hash = self.generate_hash(device_batch)
             img_code = np.asarray(self.method.make_hash_code(img_hash))
             txt_code = np.asarray(self.method.make_hash_code(txt_hash))
@@ -404,10 +427,13 @@ class BaseTrainer:
         save_dir = os.path.join(self.save_dir, "mat_files")
         os.makedirs(save_dir, exist_ok=True)
         self.logger.info("Valid.")
+        t0 = time.time()
         query_img, query_txt = self.get_code(self.query_loader, self.query_num)
         retrieval_img, retrieval_txt = self.get_code(
             self.retrieval_loader, self.retrieval_num
         )
+        t_code = time.time() - t0
+        t0 = time.time()
         mapi2t = self.calc_map_k(query_img, retrieval_txt, self.query_labels,
                                  self.retrieval_labels, k)
         mapt2i = self.calc_map_k(query_txt, retrieval_img, self.query_labels,
@@ -416,6 +442,10 @@ class BaseTrainer:
                                  self.retrieval_labels, k)
         mapt2t = self.calc_map_k(query_txt, retrieval_txt, self.query_labels,
                                  self.retrieval_labels, k)
+        self.logger.info(
+            f"eval timing: code generation {t_code:.2f}s, "
+            f"4×mAP {time.time() - t0:.2f}s"
+        )
         if self.max_mapi2t < mapi2t:
             self.best_epoch_i = epoch
             self.save_mat(query_img, query_txt, self.query_labels, retrieval_img,

@@ -56,6 +56,17 @@ def main():
 
     from cmh_tpu.registry import registry
 
+    # multi-host (multi-slice / DCN) rendezvous — the TPU-native analogue of
+    # the reference's MASTER_ADDR/PORT + init_process_group (runners/base.py:
+    # 82-96); single-host runs skip this entirely
+    if cfg.run.get("multi_host", False):
+        jax.distributed.initialize(
+            coordinator_address=cfg.run.get("distributed_addr", "localhost")
+            + ":" + str(cfg.run.get("distributed_port", 12345)),
+            num_processes=cfg.run.get("num_processes", None),
+            process_id=cfg.run.get("process_id", None),
+        )
+
     world_size = jax.device_count()
     if args.distribute:
         assert world_size > 1, "distribute training needs more than one device!"
