@@ -92,10 +92,8 @@ void crop_resize_normalize(const uint8_t* src, int sh, int sw, int cy, int cx,
                            int ch, int cw, float* dst, int dh, int dw,
                            int mode, const float* mean, const float* stdv,
                            int flip) {
-  (void)sh;
   Weights wx = compute_weights(dw, cx, cx + static_cast<double>(cw), sw, mode);
-  Weights wy = compute_weights(dh, cy, cy + static_cast<double>(ch), 1 << 30,
-                               mode);
+  Weights wy = compute_weights(dh, cy, cy + static_cast<double>(ch), sh, mode);
   // horizontal pass into a (sh-bounded) intermediate of rows we touch
   // vertical range actually needed:
   int ymin_all = 1 << 30, ymax_all = 0;
