@@ -56,6 +56,12 @@ def main():
 
     from cmh_tpu.registry import registry
 
+    # escape hatch for environments that pin JAX_PLATFORMS externally
+    # (e.g. the axon sitecustomize): CMH_TPU_PLATFORM=cpu forces the host
+    platform = os.environ.get("CMH_TPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     # multi-host (multi-slice / DCN) rendezvous — the TPU-native analogue of
     # the reference's MASTER_ADDR/PORT + init_process_group (runners/base.py:
     # 82-96); single-host runs skip this entirely

@@ -1,0 +1,113 @@
+"""Trainer lifecycle paths not covered elsewhere: test mode, resume,
+DCMHT cosine branch, CLI entry."""
+
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from util_methods import run_steps, tiny_trainer
+
+
+def test_resume_and_test_mode(tmp_path):
+    tr = tiny_trainer(tmp_path / "a", "DCMHT", "DCMHTTrainer",
+                      model_extra={"hash_func": "softmax"})
+    run_steps(tr, n=2)
+    tr.save_model(str(tmp_path / "a"), epoch=0)
+    model_file = [f for f in os.listdir(tmp_path / "a") if f.startswith("model-")][0]
+    path = str(tmp_path / "a" / model_file)
+
+    # a fresh trainer resuming weights reproduces the saved codes
+    tr2 = tiny_trainer(tmp_path / "b", "DCMHT", "DCMHTTrainer",
+                       model_extra={"hash_func": "softmax"},
+                       run_extra={"resume_model": path, "is_train": False})
+    batch = next(iter(tr2.query_loader))
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    img1, _ = tr.generate_hash(db)
+    img2, _ = tr2.generate_hash(db)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)
+
+    # test() computes 4 mAPs and writes test.mat
+    maps = tr2.test()
+    assert all(0 <= m <= 1 for m in maps)
+    assert os.path.exists(os.path.join(tr2.save_dir, "mat_files", "test.mat"))
+
+
+def test_dcmht_cosine_branch(tmp_path):
+    """Cosine similarity branch: loss matches the reference formula
+    (DCMHT.py:99-103) and trains without NaN."""
+    from cmh_tpu.models.dcmht import _similarity_loss
+
+    rng = np.random.RandomState(0)
+    a = np.abs(rng.rand(6, 16)).astype(np.float32) + 0.1
+    b = np.abs(rng.rand(6, 16)).astype(np.float32) + 0.1
+    ls = (rng.rand(6, 6) > 0.5).astype(np.float32)
+    got_p, got_n = _similarity_loss(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(ls), output_dim=8,
+        vartheta=0.75, threshold=0.1, similarity_function="cosine",
+    )
+    ta = torch.tensor(a / np.linalg.norm(a, axis=-1, keepdims=True))
+    tb = torch.tensor(b / np.linalg.norm(b, axis=-1, keepdims=True))
+    sim = ta.mm(tb.t()).clip(min=0.1).clip(max=0.9)
+    tls = torch.tensor(ls)
+    want = float((-tls * torch.log(sim) - (1 - tls) * torch.log(1 - sim)).mean())
+    assert abs(float(got_p) - want) < 1e-4
+    assert float(got_p) == float(got_n)
+
+    tr = tiny_trainer(tmp_path, "DCMHT", "DCMHTTrainer",
+                      model_extra={"hash_func": "softmax",
+                                   "similarity_function": "cosine"})
+    losses = run_steps(tr, n=3)
+    assert np.isfinite(losses).all()
+
+
+def test_cli_end_to_end(tmp_path):
+    """python main.py runs a full tiny train+valid through the real argparse
+    surface (CPU-forced via CMH_TPU_PLATFORM)."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        """
+model:
+  arch: DCMHT
+  clip_path: /nonexistent.pt
+  clip_variant: tiny
+  hash_func: softmax
+optimizer:
+  arch: BertAdam
+  lr: 0.002
+dataset:
+  arch: synthetic_dataset
+  name: synthetic
+  num_classes: 4
+  image_resolution: 32
+  max_word: 12
+run:
+  arch: DCMHTTrainer
+  output_dim: 8
+  batch_size: 16
+  is_train: True
+  train_num: 32
+  query_num: 16
+  epochs: 1
+  display_step: 1000
+"""
+    )
+    env = dict(os.environ, CMH_TPU_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "main.py", "--config-file", str(cfg),
+         "--save-dir", str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # timestamped save dir with mat artifacts and a model snapshot
+    stamps = os.listdir(tmp_path / "out")
+    assert len(stamps) == 1
+    run_dir = tmp_path / "out" / stamps[0]
+    assert os.path.exists(run_dir / "mat_files" / "last.mat")
+    assert any(f.startswith("model-") for f in os.listdir(run_dir))
+    log_files = os.listdir(run_dir / "log")
+    assert log_files, "log file missing"
