@@ -89,6 +89,37 @@ class SoftMoE(nn.Module):
         return jnp.einsum("bnpe,bmnp->bme", ys, combine)
 
 
+class SoftMoEEncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer with a Soft-MoE FFN
+    (reference block/transformer.py:12-117). Part of the reference's MoE
+    block library; the shipped UMoED head uses only the decoder stack, but
+    the layer is exposed for config-driven encoder variants."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    num_experts: int = 8
+    slots_per_expert: int = 8
+
+    @nn.compact
+    def __call__(self, src, key_padding_mask=None, train: bool = True):
+        drop = lambda t, name: nn.Dropout(
+            self.dropout, deterministic=not train, name=name
+        )(t)
+        sa, _ = MultiHeadAttention(self.d_model, self.nhead, jnp.float32,
+                                   name="self_attn")(
+            src, key_padding_mask=key_padding_mask
+        )
+        x = LayerNormFp32(name="norm1")(src + drop(sa, "drop1"))
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = jax.nn.relu(h)
+        h = drop(h, "drop_ff")
+        h = SoftMoE(self.dim_feedforward, self.d_model, self.num_experts,
+                    self.slots_per_expert, name="moe")(h)
+        return LayerNormFp32(name="norm2")(x + drop(h, "drop2"))
+
+
 class DecoderLayer(nn.Module):
     """Post-norm transformer decoder layer; optional Soft-MoE FFN
     (reference block/transformer.py:153-320 / torch TransformerDecoderLayer)."""

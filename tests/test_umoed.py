@@ -108,3 +108,16 @@ def test_baseline_train_smoke(tmp_path):
     assert np.isfinite(losses).all()
     maps = tr.valid(epoch=0)
     assert all(0 <= m <= 1 for m in maps)
+
+
+def test_soft_moe_encoder_layer_runs():
+    from cmh_tpu.models.umoed import SoftMoEEncoderLayer
+
+    layer = SoftMoEEncoderLayer(d_model=16, nhead=2, dim_feedforward=32,
+                                num_experts=2, slots_per_expert=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 16), jnp.float32)
+    kpm = jnp.zeros((2, 5), bool).at[0, 3:].set(True)
+    variables = layer.init(jax.random.PRNGKey(0), x, kpm, train=False)
+    out = layer.apply(variables, x, kpm, train=False)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
