@@ -44,15 +44,16 @@ def read_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 def infer_config(
     state_dict: Dict[str, np.ndarray], dtype=jnp.bfloat16
 ) -> CLIPConfig:
-    """Infer CLIPConfig from checkpoint tensor shapes (ViT variants only).
+    """Infer CLIPConfig from checkpoint tensor shapes (ViT variants).
 
-    Same inference rules as the reference build_model (model.py:438-460);
-    the ModifiedResNet tower is intentionally out of scope — every method in
-    the framework uses the ViT tower.
+    Same inference rules as the reference build_model (model.py:438-460).
+    RN checkpoints go through the ModifiedResNet tower instead
+    (``resnet_config_from_state_dict`` / ``models.clip.resnet``); every
+    hashing method in the framework uses the ViT tower.
     """
     assert "visual.proj" in state_dict, (
-        "only ViT CLIP checkpoints are supported (ModifiedResNet tower is "
-        "not used by any hashing method)"
+        "this is an RN checkpoint — use resnet_config_from_state_dict / "
+        "models.clip.resnet.ModifiedResNet (no hashing method uses it)"
     )
     vision_width = state_dict["visual.conv1.weight"].shape[0]
     vision_layers = len(
@@ -176,3 +177,92 @@ def load_backbone(
     dummy_txt = jnp.zeros((1, cfg.context_length), jnp.int32)
     variables = module.init(rng, dummy_img, dummy_txt)
     return cfg, module, variables
+
+
+# --------------------------------------------------------------- ResNet tower
+def resnet_config_from_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Infer ModifiedResNet geometry from a (prefix-stripped) visual state
+    dict — same rules as reference build_model (model.py:449-456)."""
+    counts = tuple(
+        len({k.split(".")[1] for k in sd if k.startswith(f"layer{b}.")})
+        for b in (1, 2, 3, 4)
+    )
+    width = sd["layer1.0.conv1.weight"].shape[0]
+    output_width = round((sd["attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+    output_dim = sd["attnpool.c_proj.weight"].shape[0]
+    embed_dim = width * 32
+    return dict(
+        layers=counts,
+        width=width,
+        input_resolution=output_width * 32,
+        output_dim=output_dim,
+        heads=embed_dim // 64,
+    )
+
+
+def resnet_variables_from_state_dict(sd: Dict[str, np.ndarray], layers) -> Dict:
+    """torch ModifiedResNet state dict (prefix-stripped) → flax variables
+    ({'params': …, 'batch_stats': …}) for models.clip.resnet.ModifiedResNet."""
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv(dst, src):
+        params[dst] = {"kernel": sd[f"{src}.weight"].transpose(2, 3, 1, 0)}
+
+    def bn(dst, src):
+        params[dst] = {"scale": sd[f"{src}.weight"], "bias": sd[f"{src}.bias"]}
+        stats[dst] = {
+            "mean": sd[f"{src}.running_mean"],
+            "var": sd[f"{src}.running_var"],
+        }
+
+    for i in (1, 2, 3):
+        conv(f"conv{i}", f"conv{i}")
+        bn(f"bn{i}", f"bn{i}")
+
+    for stage in range(1, 5):
+        for blk in range(layers[stage - 1]):
+            src = f"layer{stage}.{blk}"
+            dst = f"layer{stage}_{blk}"
+            bparams: Dict[str, Any] = {}
+            bstats: Dict[str, Any] = {}
+            for ci in (1, 2, 3):
+                bparams[f"conv{ci}"] = {
+                    "kernel": sd[f"{src}.conv{ci}.weight"].transpose(2, 3, 1, 0)
+                }
+                bparams[f"bn{ci}"] = {
+                    "scale": sd[f"{src}.bn{ci}.weight"],
+                    "bias": sd[f"{src}.bn{ci}.bias"],
+                }
+                bstats[f"bn{ci}"] = {
+                    "mean": sd[f"{src}.bn{ci}.running_mean"],
+                    "var": sd[f"{src}.bn{ci}.running_var"],
+                }
+            if f"{src}.downsample.0.weight" in sd:
+                bparams["downsample_conv"] = {
+                    "kernel": sd[f"{src}.downsample.0.weight"].transpose(2, 3, 1, 0)
+                }
+                bparams["downsample_bn"] = {
+                    "scale": sd[f"{src}.downsample.1.weight"],
+                    "bias": sd[f"{src}.downsample.1.bias"],
+                }
+                bstats["downsample_bn"] = {
+                    "mean": sd[f"{src}.downsample.1.running_mean"],
+                    "var": sd[f"{src}.downsample.1.running_var"],
+                }
+            params[dst] = bparams
+            stats[dst] = bstats
+
+    attn = {
+        "positional_embedding": sd["attnpool.positional_embedding"],
+    }
+    for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        attn[proj] = {
+            "kernel": sd[f"attnpool.{proj}.weight"].T,
+            "bias": sd[f"attnpool.{proj}.bias"],
+        }
+    params["attnpool"] = attn
+
+    to_jnp = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+    return {"params": to_jnp(params), "batch_stats": to_jnp(stats)}
