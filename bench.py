@@ -61,6 +61,11 @@ def bench_hamming(num_q=5000, num_r=110_000, bits=64, iters=5):
     return num_q * num_r / dt
 
 
+def bench_encode_best(batches=(64, 256), iters=5):
+    """Best pairs/s over batch sizes (MXU utilization grows with batch)."""
+    return max(bench_encode(b, iters) for b in batches)
+
+
 def bench_encode(batch=64, iters=5):
     import jax
     import jax.numpy as jnp
@@ -140,7 +145,7 @@ def main():
     hamming_rate = bench_hamming(bits=64)
     stage(f"hamming: {hamming_rate:.3e} cmp/s")
     stage("encode")
-    encode_rate = bench_encode()
+    encode_rate = bench_encode_best()
     stage(f"encode: {encode_rate:.1f} pairs/s")
     stage("map eval (subprocess)")
     map_time = bench_map_eval_subprocess()

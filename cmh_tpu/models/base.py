@@ -54,6 +54,9 @@ class Method:
     arch: str = "base"
     #: binarization used at eval (sign for tanh-style, pair-argmax for softmax)
     code_mode: str = "sign"
+    #: injected by the trainer after the dataset is built; consumed by
+    #: methods with train-set-sized state (MITH banks)
+    train_labels = None
 
     def __init__(
         self,
