@@ -74,6 +74,8 @@ def bench_encode(batch=64, iters=5):
     from cmh_tpu.config import config_from_dict
     from cmh_tpu.models.dcmht import DCMHTMethod
 
+    import numpy as np
+
     cfg_model = config_from_dict({"model": {}}).model
     method = DCMHTMethod.from_config(cfg_model, output_dim=64)
     res = method.clip_cfg.image_resolution
@@ -88,11 +90,22 @@ def bench_encode(batch=64, iters=5):
     def fwd(v, i, t, k):
         return method.module.apply(v, i, t, k, train=False)
 
-    _sync(fwd(variables, image, text, kpm))  # compile
+    # distinct inputs per iteration — identical-input executions can be
+    # served from a backend-side cache and fake the timing
+    rng = np.random.RandomState(0)
+    images = [
+        jnp.asarray(rng.randn(batch, res, res, 3).astype(np.float32))
+        for _ in range(iters)
+    ]
+    texts = [
+        jnp.asarray(rng.randint(1, 49405, size=(batch, 32)).astype(np.int32))
+        for _ in range(iters)
+    ]
+    _sync(fwd(variables, images[0], texts[0], kpm))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, image, text, kpm)
-    _sync(out)
+    outs = [fwd(variables, images[i], texts[i], kpm) for i in range(iters)]
+    for o in outs:
+        _sync(o)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt
 
@@ -116,6 +129,60 @@ for _ in range(4):
     calc_map_k(qb, rb, ql, rl)
 print(json.dumps({"map_time": time.perf_counter() - t0}))
 """
+
+
+TRAIN_CHILD = r"""
+import json, sys, time
+import jax
+jax.config.update("jax_compilation_cache_dir", sys.argv[1])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import numpy as np, tempfile
+from cmh_tpu.config import config_from_dict
+from cmh_tpu.registry import registry
+import cmh_tpu
+tmp = tempfile.mkdtemp()
+batch = 100
+cfg = config_from_dict({
+  "model": {"arch": "DCMHT", "clip_path": "/nonexistent.pt", "hash_func": "softmax"},
+  "optimizer": {"arch": "BertAdam", "lr": 0.001, "clip_lr": 0.00001},
+  "dataset": {"arch": "synthetic_dataset", "name": "synthetic", "num_classes": 8,
+              "image_resolution": 224, "max_word": 32},
+  "run": {"arch": "DCMHTTrainer", "save_dir": tmp, "log_dir": tmp,
+          "output_dim": 64, "batch_size": batch, "is_train": True,
+          "train_num": batch * 3, "query_num": batch, "epochs": 1,
+          "display_step": 100000, "seed": 1},
+})
+tr = registry.get_runner_class("DCMHTTrainer").from_config(cfg=cfg, auto_run=False)
+batches = []
+for b in iter(tr.train_loader):
+    import jax.numpy as jnp
+    batches.append({k: jnp.asarray(v) for k, v in b.items()})
+tr.state, loss, _ = tr._train_step(tr.state, batches[0])   # compile
+jax.block_until_ready(loss)
+t0 = time.perf_counter()
+n = 6
+for i in range(n):
+    tr.state, loss, _ = tr._train_step(tr.state, batches[i % len(batches)])
+jax.block_until_ready(loss)
+dt = (time.perf_counter() - t0) / n
+print(json.dumps({"train_pairs_per_sec": batch / dt}))
+"""
+
+
+def bench_train_subprocess(timeout_s=1800):
+    """Full DCMHT train-step (ViT-B/32 fwd+bwd+BertAdam) pairs/sec/chip."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", TRAIN_CHILD, CACHE_DIR],
+            capture_output=True, timeout=timeout_s, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in proc.stdout.strip().splitlines()[::-1]:
+            if line.startswith("{"):
+                return json.loads(line)["train_pairs_per_sec"]
+    except Exception:
+        pass
+    return None
 
 
 def bench_map_eval_subprocess(timeout_s=1500):
@@ -150,6 +217,9 @@ def main():
     stage("map eval (subprocess)")
     map_time = bench_map_eval_subprocess()
     stage(f"map64 4dir: {map_time}")
+    stage("train step (subprocess)")
+    train_rate = bench_train_subprocess()
+    stage(f"train: {train_rate}")
 
     result = {
         "metric": "hamming_comparisons_per_sec_per_chip",
@@ -160,6 +230,9 @@ def main():
             "encode_pairs_per_sec_per_chip": round(encode_rate, 2),
             "map_at_all_eval_time_s_64bit_4dir_coco_scale": (
                 round(map_time, 3) if map_time is not None else None
+            ),
+            "train_step_pairs_per_sec_per_chip": (
+                round(train_rate, 2) if train_rate is not None else None
             ),
             "device": str(jax.devices()[0]),
         },
