@@ -555,6 +555,30 @@ class BaseTrainer:
         self.state = TrainState(**restored)
         self.logger.info(f"checkpoint restored from {path}")
 
+    def save_checkpoint_orbax(self, directory: str):
+        """Orbax checkpoint of the full train state — sharding-aware and the
+        right choice for multi-host runs (msgpack gathers to host 0)."""
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(
+                os.path.abspath(directory), self.state._asdict(), force=True
+            )
+        self.logger.info(f"orbax checkpoint saved to {directory}")
+
+    def load_checkpoint_orbax(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                os.path.abspath(directory),
+                item=jax.tree_util.tree_map(np.asarray, self.state._asdict()),
+            )
+        self.state = TrainState(
+            **jax.tree_util.tree_map(jnp.asarray, restored)
+        )
+        self.logger.info(f"orbax checkpoint restored from {directory}")
+
     # --------------------------------------------------------------- logging
     def print_loss_dict(self, loss_dict, bits=16, epoch=0, times=0):
         print_str = (

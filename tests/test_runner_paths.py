@@ -2,6 +2,8 @@
 DCMHT cosine branch, CLI entry."""
 
 import os
+
+import jax
 import subprocess
 import sys
 
@@ -111,3 +113,20 @@ run:
     assert any(f.startswith("model-") for f in os.listdir(run_dir))
     log_files = os.listdir(run_dir / "log")
     assert log_files, "log file missing"
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    tr = tiny_trainer(tmp_path / "ck", "DCMHT", "DCMHTTrainer",
+                      model_extra={"hash_func": "softmax"}, batch=8)
+    run_steps(tr, n=1)
+    step_before = int(tr.state.step)
+    leaf_before = np.asarray(
+        jax.tree_util.tree_leaves(tr.state.params)[0]
+    ).copy()
+    tr.save_checkpoint_orbax(str(tmp_path / "orbax_ckpt"))
+    run_steps(tr, n=1)  # mutate state
+    tr.load_checkpoint_orbax(str(tmp_path / "orbax_ckpt"))
+    assert int(tr.state.step) == step_before
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(tr.state.params)[0]), leaf_before
+    )
