@@ -351,9 +351,20 @@ class BaseTrainer:
             self.test()
 
     def train(self):
-        for epoch in range(self.epochs):
-            self.train_epoch(epoch)
-            self.valid(epoch, k=self.top_k)
+        try:
+            for epoch in range(self.epochs):
+                self.train_epoch(epoch)
+                self.valid(epoch, k=self.top_k)
+        except Exception:
+            # failure recovery the reference lacks (SURVEY.md §5): dump the
+            # full train state so the run can resume via load_checkpoint
+            path = os.path.join(self.save_dir, "emergency.ckpt.msgpack")
+            try:
+                self.save_checkpoint(path)
+                self.logger.error(f"training crashed — state saved to {path}")
+            except Exception:
+                self.logger.error("training crashed; emergency save failed too")
+            raise
         self.logger.info(
             f">>>>>>> FINISHED >>>>>> Best epoch, I-T: {self.best_epoch_i}, "
             f"mAP: {self.max_mapi2t}, T-I: {self.best_epoch_t}, mAP: {self.max_mapt2i}"
