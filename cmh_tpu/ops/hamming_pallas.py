@@ -39,11 +39,11 @@ def _hamming_kernel(q_ref, gt_ref, out_ref, *, words: int):
         qw = q_ref[:, w : w + 1]   # (TQ, 1) uint32
         gw = gt_ref[w : w + 1, :]  # (1, TN) uint32
         acc = acc + _popcount_u32(jnp.bitwise_xor(qw, gw))
-    out_ref[:] = acc
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_q", "tile_n", "interpret")
+    jax.jit, static_argnames=("tile_q", "tile_n", "interpret", "out_dtype")
 )
 def hamming_packed(
     q_packed: jax.Array,
@@ -51,19 +51,30 @@ def hamming_packed(
     tile_q: int = 256,
     tile_n: int = 512,
     interpret: bool = False,
+    out_dtype=None,
 ) -> jax.Array:
     """Hamming distances between packed codes.
 
     Args:
       q_packed: (Q, W) uint32 packed query codes.
       g_packed: (N, W) uint32 packed gallery codes.
+      out_dtype: output element type. Defaults to the narrowest unsigned int
+        that holds the max distance (32·W): uint8 for codes ≤ 255 bits —
+        the kernel is bound by writing the (Q, N) output, so narrow dtypes
+        are a direct bandwidth multiplier.
     Returns:
-      (Q, N) int32 Hamming distance matrix. Padding bits cancel in XOR as
-      long as both operands were packed with `pack_bits` (pad bits = 0).
+      (Q, N) Hamming distance matrix. Padding bits cancel in XOR as long as
+      both operands were packed with `pack_bits` (pad bits = 0).
     """
     q, w = q_packed.shape
     n, w2 = g_packed.shape
     assert w == w2, f"word-width mismatch: {w} vs {w2}"
+    if out_dtype is None:
+        max_d = 32 * w
+        out_dtype = (
+            jnp.uint8 if max_d <= 255 else
+            jnp.uint16 if max_d <= 65535 else jnp.int32
+        )
 
     tile_q = min(tile_q, _round_up(q, 8))
     tile_n = min(tile_n, _round_up(n, 128))
@@ -76,7 +87,7 @@ def hamming_packed(
     grid = (q_pad // tile_q, n_pad // tile_n)
     out = pl.pallas_call(
         functools.partial(_hamming_kernel, words=w),
-        out_shape=jax.ShapeDtypeStruct((q_pad, n_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((q_pad, n_pad), out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_q, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
