@@ -40,34 +40,47 @@ def _sync(x):
     return x
 
 
-def bench_hamming(num_q=5000, num_r=110_000, bits=64, iters=5):
+def bench_hamming(num_q=5000, num_r=110_000, bits=64, iters=30):
+    """Packed-code Hamming throughput via the MXU Pallas kernel.
+
+    Timing discipline for the tunneled TPU backend: distinct inputs per
+    iteration (identical-input executions can be served from a cache), a
+    device-side dependency chain across iterations, and ONE host fetch of
+    the chained scalar at the end — per-call host syncs measure the ~40ms
+    relay round-trip instead of the kernel.
+    """
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from cmh_tpu.ops.hamming_pallas import hamming_packed
+    from cmh_tpu.ops.hamming_pallas import hamming_packed_mxu
     from cmh_tpu.ops.hashing import pack_bits
 
     rng = np.random.RandomState(0)
     r = jnp.asarray(rng.choice([-1.0, 1.0], size=(num_r, bits)).astype(np.float32))
     rp = _sync(pack_bits(r))
-    # distinct query sets per iteration — identical-input executions can be
-    # served from a backend-side cache and fake the timing
-    qps = []
-    for _ in range(iters):
-        q = jnp.asarray(
+    qps = [
+        _sync(pack_bits(jnp.asarray(
             rng.choice([-1.0, 1.0], size=(num_q, bits)).astype(np.float32)
-        )
-        qps.append(_sync(pack_bits(q)))
-    _sync(hamming_packed(qps[0], rp))  # compile
+        )))
+        for _ in range(iters)
+    ]
+
+    @jax.jit
+    def ham_sum(qp, rp):
+        return jnp.sum(hamming_packed_mxu(qp, rp), dtype=jnp.float32)
+
+    float(ham_sum(qps[0], rp))  # compile + warm
     t0 = time.perf_counter()
-    outs = [hamming_packed(qp, rp) for qp in qps]
-    for o in outs:
-        _sync(o)
+    acc = jnp.float32(0.0)
+    for qp in qps:
+        acc = acc + ham_sum(qp, rp)
+    float(acc)
     dt = (time.perf_counter() - t0) / iters
     return num_q * num_r / dt
 
 
-def bench_encode_best(batches=(64, 256), iters=5):
+def bench_encode_best(batches=(64, 256), iters=10):
     """Best pairs/s over batch sizes (MXU utilization grows with batch)."""
     return max(bench_encode(b, iters) for b in batches)
 
@@ -93,11 +106,12 @@ def bench_encode(batch=64, iters=5):
     )
 
     @jax.jit
-    def fwd(v, i, t, k):
-        return method.module.apply(v, i, t, k, train=False)
+    def fwd_sum(v, i, t, k):
+        img_hash, txt_hash = method.module.apply(v, i, t, k, train=False)
+        return jnp.sum(img_hash) + jnp.sum(txt_hash)
 
-    # distinct inputs per iteration — identical-input executions can be
-    # served from a backend-side cache and fake the timing
+    # distinct inputs per iteration + device-side chain + one host fetch
+    # (see bench_hamming for why)
     rng = np.random.RandomState(0)
     images = [
         jnp.asarray(rng.randn(batch, res, res, 3).astype(np.float32))
@@ -107,11 +121,12 @@ def bench_encode(batch=64, iters=5):
         jnp.asarray(rng.randint(1, 49405, size=(batch, 32)).astype(np.int32))
         for _ in range(iters)
     ]
-    _sync(fwd(variables, images[0], texts[0], kpm))  # compile
+    float(fwd_sum(variables, images[0], texts[0], kpm))  # compile
     t0 = time.perf_counter()
-    outs = [fwd(variables, images[i], texts[i], kpm) for i in range(iters)]
-    for o in outs:
-        _sync(o)
+    acc = jnp.float32(0.0)
+    for i in range(iters):
+        acc = acc + fwd_sum(variables, images[i], texts[i], kpm)
+    float(acc)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt
 
