@@ -179,12 +179,13 @@ for b in iter(tr.train_loader):
     import jax.numpy as jnp
     batches.append({k: jnp.asarray(v) for k, v in b.items()})
 tr.state, loss, _ = tr._train_step(tr.state, batches[0])   # compile
-jax.block_until_ready(loss)
+float(loss)
 t0 = time.perf_counter()
 n = 6
 for i in range(n):
     tr.state, loss, _ = tr._train_step(tr.state, batches[i % len(batches)])
-jax.block_until_ready(loss)
+# host fetch: steps chain through the train state, so this forces all n
+float(loss)
 dt = (time.perf_counter() - t0) / n
 print(json.dumps({"train_pairs_per_sec": batch / dt}))
 """
