@@ -53,7 +53,7 @@ def bench_hamming(num_q=5000, num_r=110_000, bits=64, iters=30):
     import jax.numpy as jnp
     import numpy as np
 
-    from cmh_tpu.ops.hamming_pallas import hamming_packed_mxu
+    from cmh_tpu.ops.hamming_pallas import hamming_packed
     from cmh_tpu.ops.hashing import pack_bits
 
     rng = np.random.RandomState(0)
@@ -68,7 +68,7 @@ def bench_hamming(num_q=5000, num_r=110_000, bits=64, iters=30):
 
     @jax.jit
     def ham_sum(qp, rp):
-        return jnp.sum(hamming_packed_mxu(qp, rp), dtype=jnp.float32)
+        return jnp.sum(hamming_packed(qp, rp), dtype=jnp.float32)
 
     float(ham_sum(qps[0], rp))  # compile + warm
     t0 = time.perf_counter()

@@ -104,6 +104,13 @@ def load_config(path: str) -> ConfigNode:
     return cfg
 
 
+class EmptyConfig:
+    """A .get()-only stand-in for absent config sections."""
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return default
+
+
 def config_from_dict(data: Dict[str, Any]) -> ConfigNode:
     cfg = ConfigNode(data)
     for section in ("model", "optimizer", "dataset", "run"):

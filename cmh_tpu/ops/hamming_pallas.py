@@ -120,7 +120,8 @@ def _unpack_rows_kernel_side(words: jax.Array, n_words: int) -> jax.Array:
         bits = (words[:, w : w + 1] >> shifts) & jnp.uint32(1)  # (R, 32)
         cols.append(bits)
     bits = jnp.concatenate(cols, axis=1)
-    return (bits.astype(jnp.bfloat16) * 2.0 - 1.0)
+    # Mosaic has no uint32→bf16 cast; hop through int32
+    return bits.astype(jnp.int32).astype(jnp.bfloat16) * 2.0 - 1.0
 
 
 def _hamming_mxu_kernel(q_ref, gt_ref, out_ref, *, words: int, bits: int):
@@ -139,9 +140,13 @@ def _hamming_mxu_kernel(q_ref, gt_ref, out_ref, *, words: int, bits: int):
     for w in range(words):
         bits_w = (gt_ref[w : w + 1, :] >> shifts) & jnp.uint32(1)  # (32, TN)
         rows.append(bits_w)
-    g = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16) * 2.0 - 1.0
+    g = (
+        jnp.concatenate(rows, axis=0).astype(jnp.int32).astype(jnp.bfloat16)
+        * 2.0 - 1.0
+    )
     dot = jnp.dot(q, g, preferred_element_type=jnp.float32)   # (TQ, TN)
-    out_ref[:] = ((bits - dot) * 0.5).astype(out_ref.dtype)
+    # Mosaic lacks direct f32→u8 casts; hop through int32
+    out_ref[:] = ((bits - dot) * 0.5).astype(jnp.int32).astype(out_ref.dtype)
 
 
 @functools.partial(
