@@ -31,6 +31,7 @@ from ..ops.distances import (
     weighted_triplet_loss,
 )
 from ..ops.hashing import kaiming_uniform_fan_out, softmax_hash
+from ..config import EmptyConfig
 from ..registry import registry
 from .base import BaseHashModel, Method, resolve_clip_cfg
 from .clip.model import CLIP, CLIPConfig
@@ -229,7 +230,7 @@ class DIMCHMethod(Method):
 
         def section(name):
             sec = cfg_model.get(name, None) if cfg_model else None
-            return sec if sec is not None else _EmptyCfg()
+            return sec if sec is not None else EmptyConfig()
 
         module = DIMCHModel(
             clip_cfg=clip_cfg,
@@ -247,7 +248,3 @@ class DIMCHMethod(Method):
         return cls(module=module, loss=loss, cfg_model=cfg_model,
                    train_num=train_num)
 
-
-class _EmptyCfg:
-    def get(self, key, default=None):
-        return default

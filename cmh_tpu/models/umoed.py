@@ -37,6 +37,7 @@ from ..ops.distances import (
 )
 from ..ops.hashing import linear_subspace_hash, softmax_hash, tanh_hash
 from ..ops.metrics import calc_label_sim
+from ..config import EmptyConfig
 from ..registry import registry
 from .base import BaseHashModel, Method, resolve_clip_cfg
 from .clip.model import CLIP, CLIPConfig, LayerNormFp32, MultiHeadAttention
@@ -372,11 +373,6 @@ def umoed_loss_fn(*, set_dim, extreme, extreme_t, triplet, distance_mode,
     return loss
 
 
-class _EmptyCfg:
-    def get(self, key, default=None):
-        return default
-
-
 @registry.register_model("UMoED")
 class UMoEDMethod(Method):
     arch = "UMoED"
@@ -393,7 +389,7 @@ class UMoEDMethod(Method):
 
         def section(name):
             sec = cfg_model.get(name, None) if cfg_model else None
-            return sec if sec is not None else _EmptyCfg()
+            return sec if sec is not None else EmptyConfig()
 
         hidden = g("hidden_dim", 512)
         if hidden is None or isinstance(hidden, str):
