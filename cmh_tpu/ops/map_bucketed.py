@@ -25,6 +25,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .metrics import calc_hamming_dist, calc_label_sim
 
@@ -155,3 +156,55 @@ def calc_map_k_bucketed(
             _map_chunk_bucketed(qc, r_b, gnd, valid, k, bits, block)
         )
     return total_ap / num_query
+
+
+def calc_map_k_4dir(
+    q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels,
+    k: Optional[int] = None, chunk: int = 512, block: int = 256,
+):
+    """All four retrieval directions (i→t, t→i, i→i, t→t) in one pass.
+
+    The ground-truth similarity matrix is identical across directions, so
+    computing it once and vmapping the counting-rank chunk over a stacked
+    (4, C, K) query / (4, N, K) gallery axis quarters both the label-matmul
+    work and the per-call dispatch overhead of ``trainer.valid``
+    (reference runners/base.py:317-321 runs four independent calc_map_k calls).
+
+    Returns (map_i2t, map_t2i, map_i2i, map_t2t) as floats.
+    """
+    q_img = jnp.asarray(q_img, jnp.float32)
+    q_txt = jnp.asarray(q_txt, jnp.float32)
+    r_img = jnp.asarray(r_img, jnp.float32)
+    r_txt = jnp.asarray(r_txt, jnp.float32)
+    ql = jnp.asarray(query_labels, jnp.float32)
+    rl = jnp.asarray(retrieval_labels, jnp.float32)
+    bits = int(q_img.shape[1])
+    assert bits <= MAX_BUCKETED_BITS
+
+    r_stack = jnp.stack([r_txt, r_img, r_img, r_txt])  # (4, N, K)
+
+    chunk_fn = jax.vmap(
+        lambda qc, rc, gnd, valid: _map_chunk_bucketed(
+            qc, rc, gnd, valid, k, bits, block
+        ),
+        in_axes=(0, 0, None, None),
+    )
+
+    num_query = q_img.shape[0]
+    chunk = min(chunk, num_query)
+    totals = np.zeros(4)
+    for start in range(0, num_query, chunk):
+        stop = min(start + chunk, num_query)
+        size = stop - start
+        qi, qt, lc = q_img[start:stop], q_txt[start:stop], ql[start:stop]
+        if size < chunk:
+            pad = ((0, chunk - size), (0, 0))
+            qi = jnp.pad(qi, pad, constant_values=1.0)
+            qt = jnp.pad(qt, pad, constant_values=1.0)
+            lc = jnp.pad(lc, pad)
+        valid = (jnp.arange(chunk) < size).astype(jnp.float32)
+        gnd = calc_label_sim(lc, rl)
+        q_stack = jnp.stack([qi, qt, qi, qt])  # (4, C, K)
+        totals += np.asarray(chunk_fn(q_stack, r_stack, gnd, valid))
+    maps = totals / num_query
+    return tuple(float(m) for m in maps)

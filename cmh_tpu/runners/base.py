@@ -454,14 +454,9 @@ class BaseTrainer:
         )
         t_code = time.time() - t0
         t0 = time.time()
-        mapi2t = self.calc_map_k(query_img, retrieval_txt, self.query_labels,
-                                 self.retrieval_labels, k)
-        mapt2i = self.calc_map_k(query_txt, retrieval_img, self.query_labels,
-                                 self.retrieval_labels, k)
-        mapi2i = self.calc_map_k(query_img, retrieval_img, self.query_labels,
-                                 self.retrieval_labels, k)
-        mapt2t = self.calc_map_k(query_txt, retrieval_txt, self.query_labels,
-                                 self.retrieval_labels, k)
+        mapi2t, mapt2i, mapi2i, mapt2t = self.calc_map_4dir(
+            query_img, query_txt, retrieval_img, retrieval_txt, k
+        )
         self.logger.info(
             f"eval timing: code generation {t_code:.2f}s, "
             f"4×mAP {time.time() - t0:.2f}s"
@@ -491,6 +486,27 @@ class BaseTrainer:
         )
         return mapi2t, mapt2i, mapi2i, mapt2t
 
+    def calc_map_4dir(self, query_img, query_txt, retrieval_img, retrieval_txt,
+                      k: Optional[int]):
+        """Four-direction mAP; fused counting-rank kernel when applicable."""
+        if query_img.shape[1] <= 256:
+            from ..ops.map_bucketed import calc_map_k_4dir
+
+            return calc_map_k_4dir(
+                query_img, query_txt, retrieval_img, retrieval_txt,
+                self.query_labels, self.retrieval_labels, k,
+            )
+        return (
+            self.calc_map_k(query_img, retrieval_txt, self.query_labels,
+                            self.retrieval_labels, k),
+            self.calc_map_k(query_txt, retrieval_img, self.query_labels,
+                            self.retrieval_labels, k),
+            self.calc_map_k(query_img, retrieval_img, self.query_labels,
+                            self.retrieval_labels, k),
+            self.calc_map_k(query_txt, retrieval_txt, self.query_labels,
+                            self.retrieval_labels, k),
+        )
+
     def test(self):
         assert self.model_state != "", "test step must provide the model file!"
         self.logger.info("Test.")
@@ -500,14 +516,9 @@ class BaseTrainer:
         retrieval_img, retrieval_txt = self.get_code(
             self.retrieval_loader, self.retrieval_num
         )
-        mapi2t = self.calc_map_k(query_img, retrieval_txt, self.query_labels,
-                                 self.retrieval_labels, self.top_k)
-        mapt2i = self.calc_map_k(query_txt, retrieval_img, self.query_labels,
-                                 self.retrieval_labels, self.top_k)
-        mapi2i = self.calc_map_k(query_img, retrieval_img, self.query_labels,
-                                 self.retrieval_labels, self.top_k)
-        mapt2t = self.calc_map_k(query_txt, retrieval_txt, self.query_labels,
-                                 self.retrieval_labels, self.top_k)
+        mapi2t, mapt2i, mapi2i, mapt2t = self.calc_map_4dir(
+            query_img, query_txt, retrieval_img, retrieval_txt, self.top_k
+        )
         self.save_mat(query_img, query_txt, self.query_labels, retrieval_img,
                       retrieval_txt, self.retrieval_labels,
                       save_file=os.path.join(save_dir, "test.mat"))

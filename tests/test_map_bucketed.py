@@ -41,3 +41,26 @@ def test_bucketed_block_not_dividing_gallery():
     want = calc_map_k_numpy(qb, rb, ql, rl)
     got = calc_map_k_bucketed(qb, rb, ql, rl, chunk=5, block=32)
     assert abs(got - want) < 1e-5
+
+
+def test_4dir_matches_independent_calls():
+    from cmh_tpu.ops.map_bucketed import calc_map_k_4dir
+
+    rng = np.random.RandomState(9)
+    nq, nr, bits, c = 17, 83, 16, 5
+    qi = rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+    qt = rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+    ri = rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+    rt = rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+    ql = (rng.rand(nq, c) > 0.5).astype(np.float32)
+    rl = (rng.rand(nr, c) > 0.5).astype(np.float32)
+    ql[:, 0] = 1
+    rl[0, 0] = 1
+    got = calc_map_k_4dir(qi, qt, ri, rt, ql, rl, k=None, chunk=8, block=32)
+    want = (
+        calc_map_k_numpy(qi, rt, ql, rl),
+        calc_map_k_numpy(qt, ri, ql, rl),
+        calc_map_k_numpy(qi, ri, ql, rl),
+        calc_map_k_numpy(qt, rt, ql, rl),
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
