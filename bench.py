@@ -137,17 +137,18 @@ import jax
 jax.config.update("jax_compilation_cache_dir", sys.argv[1])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
-from cmh_tpu.ops.metrics import calc_map_k
+from cmh_tpu.ops.map_bucketed import calc_map_k_4dir
 rng = np.random.RandomState(1)
 nq, nr, bits, classes = 5000, 110_000, 64, 80
-qb = rng.choice([-1.,1.], size=(nq,bits)).astype(np.float32)
-rb = rng.choice([-1.,1.], size=(nr,bits)).astype(np.float32)
+qi = rng.choice([-1.,1.], size=(nq,bits)).astype(np.float32)
+qt = rng.choice([-1.,1.], size=(nq,bits)).astype(np.float32)
+ri = rng.choice([-1.,1.], size=(nr,bits)).astype(np.float32)
+rt = rng.choice([-1.,1.], size=(nr,bits)).astype(np.float32)
 ql = (rng.rand(nq,classes)>0.9).astype(np.float32); ql[:,0]=1
 rl = (rng.rand(nr,classes)>0.9).astype(np.float32); rl[:nr//10,0]=1
-calc_map_k(qb[:512], rb, ql[:512], rl)  # compile at steady-state chunk shape
+calc_map_k_4dir(qi[:512], qt[:512], ri, rt, ql[:512], rl)  # compile
 t0 = time.perf_counter()
-for _ in range(4):
-    calc_map_k(qb, rb, ql, rl)
+calc_map_k_4dir(qi, qt, ri, rt, ql, rl)  # the trainer's full valid() eval
 print(json.dumps({"map_time": time.perf_counter() - t0}))
 """
 
