@@ -59,7 +59,17 @@ class TwDHTrainer(BaseTrainer):
             )
             return img_long, img_short, txt_long, txt_short
 
-        self._encode_multi = jax.jit(encode_step)
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            rep = replicated(self.mesh)
+            self._encode_multi = jax.jit(
+                encode_step,
+                in_shardings=(rep, rep, rep, batch_sharding(self.mesh)),
+                out_shardings=rep,
+            )
+        else:
+            self._encode_multi = jax.jit(encode_step)
 
     def get_code(self, data_loader, length: int):
         short_dims = self.method.short_dims
@@ -70,7 +80,7 @@ class TwDHTrainer(BaseTrainer):
 
         code = self.method.make_hash_code
         for batch in data_loader:
-            db = {k: jnp.asarray(v) for k, v in batch.items()}
+            db = self._put_batch(batch)
             il, ish, tl, tsh = self._encode_multi(
                 self.state.params, self.state.model_state,
                 self.state.method_state, db,

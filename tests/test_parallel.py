@@ -80,3 +80,40 @@ def test_dp_matches_single_device(tmp_path):
     _, loss2, _ = tr2._train_step(tr2.state, db2)
     # same seed → same init → identical loss up to reduction order
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+def test_twdh_dp_acceptance(tmp_path):
+    """SURVEY.md §7's multi-chip acceptance config: TwDH data-parallel over
+    the 8-device mesh — train step + multi-dim (long + short) eval."""
+    from cmh_tpu.config import config_from_dict
+
+    cfg = config_from_dict(
+        {
+            "model": {"arch": "TwDH", "clip_path": "/nonexistent.pt",
+                      "clip_variant": "tiny", "hash_func": "softmax",
+                      "long_dim": 32, "short_dims": [8], "numclass": 4,
+                      "quan_alpha": 0.5, "low_rate": 0.1,
+                      "long_center": str(tmp_path / "none"),
+                      "short_center": str(tmp_path / "none"),
+                      "trans_matrix": str(tmp_path / "none")},
+            "optimizer": {"arch": "BertAdam", "lr": 0.002, "clip_lr": 0.0005},
+            "dataset": {"arch": "synthetic_dataset", "name": "synthetic",
+                        "num_classes": 4, "image_resolution": 32,
+                        "max_word": 12},
+            "run": {"arch": "TwDHTrainer", "save_dir": str(tmp_path),
+                    "log_dir": str(tmp_path / "log"), "output_dim": 8,
+                    "batch_size": 16, "is_train": True, "train_num": 32,
+                    "query_num": 16, "epochs": 1, "display_step": 1000,
+                    "seed": 3, "distribute": True},
+        }
+    )
+    tr = registry.get_runner_class("TwDHTrainer").from_config(
+        cfg=cfg, world_size=8, distributed=True, auto_run=False
+    )
+    assert tr.mesh is not None
+    batch = next(iter(tr.train_loader))
+    db = shard_batch(batch, tr.mesh)
+    tr.state, loss, _ = tr._train_step(tr.state, db)
+    assert np.isfinite(float(loss))
+    maps = tr.valid(epoch=0)
+    assert all(0 <= m <= 1 for m in maps)
