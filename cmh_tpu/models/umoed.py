@@ -378,6 +378,22 @@ class UMoEDMethod(Method):
     arch = "UMoED"
     code_mode = "sign"  # linear_subspace codes are already ±1; sign is identity
 
+    def eval_code_dims(self) -> int:
+        """Width of the binarized eval code.
+
+        Only linear_subspace+concatenate emits exactly ``output_dim`` bits;
+        the mean/concatenate merges of the tanh/softmax variants emit
+        vocab-sized codes (the reference sizes its buffers to output_dim and
+        would crash on those combos — runners/UMoED/runner.py:166-171).
+        """
+        m = self.module
+        vocab = 2 ** (m.output_dim // m.set_dim)
+        if m.hash_func == "linear_subspace":
+            return m.output_dim
+        if m.merge_func == "mean":
+            return vocab
+        return m.set_dim * vocab
+
     @classmethod
     def from_config(cls, cfg_model, output_dim: int = 16, train_num: int = 10000,
                     clip_cfg: Optional[CLIPConfig] = None) -> "UMoEDMethod":
