@@ -32,6 +32,7 @@ class HostDataLoader:
         pad_to_batch: bool = True,
         prefetch: int = 2,
         seed: Optional[int] = None,
+        num_workers: int = 0,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -39,6 +40,10 @@ class HostDataLoader:
         self.drop_last = drop_last
         self.pad_to_batch = pad_to_batch
         self.prefetch = prefetch
+        # >0: decode items with a thread pool (PIL/numpy release the GIL for
+        # the heavy parts; the reference's DataLoader num_workers analogue)
+        self.num_workers = num_workers
+        self._pool = None
         self._rng = np.random.RandomState(seed) if seed is not None else np.random
         self._epoch = 0
 
@@ -55,7 +60,16 @@ class HostDataLoader:
         return np.arange(n)
 
     def _make_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        items = [self.dataset[int(i)] for i in idx]
+        if self.num_workers > 0:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            items = list(self._pool.map(
+                lambda i: self.dataset[int(i)], idx.tolist()
+            ))
+        else:
+            items = [self.dataset[int(i)] for i in idx]
         images, captions, kpms, labels, indices = zip(*items)
         batch = {
             "image": np.stack(images).astype(np.float32),

@@ -174,14 +174,18 @@ class BaseTrainer:
         self.logger.info(f"query shape: {self.query_labels.shape}")
         self.logger.info(f"retrieval shape: {self.retrieval_labels.shape}")
 
+        workers = self.cfg.run.get("num_workers", 0)
         self.train_loader = HostDataLoader(
-            train_data, batch_size=batch_size, shuffle=shuffle, pad_to_batch=True
+            train_data, batch_size=batch_size, shuffle=shuffle,
+            pad_to_batch=True, num_workers=workers,
         )
         self.query_loader = HostDataLoader(
-            query_data, batch_size=batch_size, shuffle=False, pad_to_batch=True
+            query_data, batch_size=batch_size, shuffle=False,
+            pad_to_batch=True, num_workers=workers,
         )
         self.retrieval_loader = HostDataLoader(
-            retrieval_data, batch_size=batch_size, shuffle=False, pad_to_batch=True
+            retrieval_data, batch_size=batch_size, shuffle=False,
+            pad_to_batch=True, num_workers=workers,
         )
 
     # ----------------------------------------------------------------- model

@@ -137,3 +137,20 @@ def test_npy_image_path(tmp_path):
     )
     img, cap, kpm, label, idx = query[0]
     assert img.shape == (16, 16, 3)
+
+
+def test_loader_thread_pool_matches_serial(mat_dataset_dir):
+    root, n = mat_dataset_dir
+    np.random.seed(1814)
+    train, _, _ = build_dataloader(
+        captionFile=str(root / "caption.mat"), indexFile=str(root / "index.mat"),
+        labelFile=str(root / "label.mat"), imageResolution=32, query_num=6,
+        train_num=10, dataset_cls="transformer_dataset",
+        tokenizer=SimpleTokenizer(), maxWords=12,
+    )
+    serial = HostDataLoader(train, batch_size=5, shuffle=False)
+    pooled = HostDataLoader(train, batch_size=5, shuffle=False, num_workers=4)
+    for a, b in zip(serial, pooled):
+        # eval transform is deterministic → identical batches
+        np.testing.assert_array_equal(a["text"], b["text"])
+        np.testing.assert_array_equal(a["index"], b["index"])
