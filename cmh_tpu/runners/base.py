@@ -409,6 +409,10 @@ class BaseTrainer:
                     jax.tree_util.tree_map(float, loss_dict),
                     bits=self.output_dim, epoch=epoch, times=times,
                 )
+        if self._profiling:  # epoch shorter than the profile window
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.logger.info(f"profiler trace written to {self.profile_dir}")
         dt = time.time() - t0
         self.logger.info(
             f">>>>>> [{epoch}/{self.epochs}] loss: {all_loss / max(times, 1)}, "
