@@ -175,16 +175,19 @@ class BaseTrainer:
         self.logger.info(f"retrieval shape: {self.retrieval_labels.shape}")
 
         workers = self.cfg.run.get("num_workers", 0)
+        # eval batches can be much larger than train batches (no activations
+        # to store) — fewer device dispatches for the code-generation sweep
+        eval_batch = self.cfg.run.get("eval_batch_size", batch_size)
         self.train_loader = HostDataLoader(
             train_data, batch_size=batch_size, shuffle=shuffle,
             pad_to_batch=True, num_workers=workers,
         )
         self.query_loader = HostDataLoader(
-            query_data, batch_size=batch_size, shuffle=False,
+            query_data, batch_size=eval_batch, shuffle=False,
             pad_to_batch=True, num_workers=workers,
         )
         self.retrieval_loader = HostDataLoader(
-            retrieval_data, batch_size=batch_size, shuffle=False,
+            retrieval_data, batch_size=eval_batch, shuffle=False,
             pad_to_batch=True, num_workers=workers,
         )
 
