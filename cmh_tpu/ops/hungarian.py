@@ -33,12 +33,54 @@ def hungarian_assignment(cost: jax.Array) -> jax.Array:
     )
 
 
-def assign_noise(codes: jax.Array, noises: jax.Array) -> jax.Array:
+def greedy_assignment(cost: jax.Array) -> jax.Array:
+    """Device-native greedy assignment: repeatedly take the globally
+    cheapest remaining (row, col) pair. O(B) argmins over the B×B matrix —
+    entirely inside jit, no host round-trip. Not guaranteed optimal like the
+    Hungarian solve, but a valid permutation with near-minimal cost — ample
+    for DNPH's noise-matching regularizer, and the only option on backends
+    without host-callback support (e.g. the axon PJRT tunnel)."""
+    n = cost.shape[0]
+    big = jnp.float32(jnp.inf)
+
+    def body(_, state):
+        masked, assign = state
+        flat = jnp.argmin(masked.reshape(-1))
+        r, c = flat // n, flat % n
+        assign = assign.at[r].set(c.astype(jnp.int32))
+        masked = masked.at[r, :].set(big).at[:, c].set(big)
+        return masked, assign
+
+    _, assign = jax.lax.fori_loop(
+        0, n, body, (cost.astype(jnp.float32), jnp.zeros((n,), jnp.int32))
+    )
+    return assign
+
+
+def callbacks_supported() -> bool:
+    """Host send/recv callbacks are unavailable on some PJRT backends
+    (the axon TPU tunnel raises UNIMPLEMENTED at runtime)."""
+    import os
+
+    if os.environ.get("CMH_TPU_NO_CALLBACKS"):
+        return False
+    return jax.default_backend() in ("cpu", "gpu", "tpu")
+
+
+def assign_noise(codes: jax.Array, noises: jax.Array,
+                 method: str = "auto") -> jax.Array:
     """Reorder ``noises`` to minimize total L2 distance to ``codes``
-    (reference gene_noise, b_reg.py:21-41)."""
+    (reference gene_noise, b_reg.py:21-41). ``method``: "hungarian" (exact,
+    host callback), "greedy" (on-device), or "auto" (hungarian where the
+    backend supports callbacks)."""
     diff = codes[:, None, :] - noises[None, :, :]
     cost = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
-    col = hungarian_assignment(cost)
+    if method == "auto":
+        method = "hungarian" if callbacks_supported() else "greedy"
+    if method == "hungarian":
+        col = hungarian_assignment(cost)
+    else:
+        col = greedy_assignment(jax.lax.stop_gradient(cost))
     return jnp.take(noises, col, axis=0)
 
 

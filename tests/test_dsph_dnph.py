@@ -165,3 +165,31 @@ def test_dnph_train_smoke(tmp_path):
     assert np.isfinite(losses).all()
     maps = tr.valid(epoch=0)
     assert all(0 <= m <= 1 for m in maps)
+
+
+def test_greedy_assignment_is_valid_permutation():
+    from cmh_tpu.ops.hungarian import greedy_assignment
+
+    rng = np.random.RandomState(4)
+    cost = rng.rand(12, 12).astype(np.float32)
+    col = np.asarray(greedy_assignment(jnp.asarray(cost)))
+    assert sorted(col.tolist()) == list(range(12))
+    # greedy never beats the optimal but must beat a random permutation
+    # in expectation; check against identity
+    from scipy.optimize import linear_sum_assignment
+
+    _, opt = linear_sum_assignment(cost)
+    greedy_cost = cost[np.arange(12), col].sum()
+    opt_cost = cost[np.arange(12), opt].sum()
+    ident_cost = np.trace(cost)
+    assert opt_cost <= greedy_cost <= ident_cost + 1e-6 or greedy_cost < ident_cost
+
+
+def test_assign_noise_greedy_path():
+    rng = np.random.RandomState(5)
+    codes = jnp.asarray(np.tanh(rng.randn(6, 8)).astype(np.float32))
+    noises = rand_unit_rect(jax.random.PRNGKey(1), 6, 8)
+    assigned = assign_noise(codes, noises, method="greedy")
+    a, n = np.asarray(assigned), np.asarray(noises)
+    matched = sum(any(np.array_equal(a[i], n[j]) for j in range(6)) for i in range(6))
+    assert matched == 6
