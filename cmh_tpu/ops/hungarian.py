@@ -64,6 +64,12 @@ def callbacks_supported() -> bool:
 
     if os.environ.get("CMH_TPU_NO_CALLBACKS"):
         return False
+    # the axon relay registers itself as platform "tpu" but rejects host
+    # callbacks at runtime; its env markers are the only reliable signal
+    if os.environ.get("PALLAS_AXON_POOL_IPS") or os.environ.get(
+        "PALLAS_AXON_REMOTE_COMPILE"
+    ):
+        return False
     return jax.default_backend() in ("cpu", "gpu", "tpu")
 
 
