@@ -40,7 +40,9 @@ def _map_chunk_bucketed(
     bits: int,
     block: int = 256,
 ) -> jax.Array:
-    assert block <= 256, "bf16 tie-prefix counts are exact only up to 256"
+    # bf16 keeps within-block counts exact only up to 256; bigger blocks
+    # (fewer scan iterations → less per-iteration overhead) switch to fp32
+    count_dtype = jnp.bfloat16 if block <= 256 else jnp.float32
     c, n = gnd.shape
     v = bits + 1
     d = calc_hamming_dist(q_codes, r_codes).astype(jnp.int32)   # (C, N)
@@ -61,12 +63,12 @@ def _map_chunk_bucketed(
     def hist_body(carry, xs):
         hist, rhist = carry
         d_b, g_b, m_b = xs
-        oh = jax.nn.one_hot(d_b, v, dtype=jnp.bfloat16) * m_b[None, :, None].astype(
-            jnp.bfloat16
+        oh = jax.nn.one_hot(d_b, v, dtype=count_dtype) * m_b[None, :, None].astype(
+            count_dtype
         )
         hist = hist + jnp.sum(oh, axis=1).astype(jnp.float32)
         rhist = rhist + jnp.sum(
-            oh * g_b[:, :, None].astype(jnp.bfloat16), axis=1
+            oh * g_b[:, :, None].astype(count_dtype), axis=1
         ).astype(jnp.float32)
         return (hist, rhist), None
 
@@ -90,10 +92,10 @@ def _map_chunk_bucketed(
         # cumulative per-distance count gathered at each item's own distance.
         # Counts within a block are ≤ block ≤ 256 → exact in bf16, halving
         # the traffic of the (C, L, V) cumsum that dominates this pass.
-        oh = jax.nn.one_hot(d_b, v, dtype=jnp.bfloat16) * m_b[None, :, None].astype(
-            jnp.bfloat16
+        oh = jax.nn.one_hot(d_b, v, dtype=count_dtype) * m_b[None, :, None].astype(
+            count_dtype
         )
-        oh_r = oh * g_b[:, :, None].astype(jnp.bfloat16)
+        oh_r = oh * g_b[:, :, None].astype(count_dtype)
         cums = jnp.cumsum(oh, axis=1)                            # (C, L, V)
         cums_r = jnp.cumsum(oh_r, axis=1)
         # "gather at own distance" as Σ_v oh·x — TPU gathers serialize,

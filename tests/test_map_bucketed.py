@@ -64,3 +64,10 @@ def test_4dir_matches_independent_calls():
         calc_map_k_numpy(qt, rt, ql, rl),
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_bucketed_fp32_large_block():
+    qb, rb, ql, rl = _data(9, 300, 16, 4, seed=11)
+    want = calc_map_k_numpy(qb, rb, ql, rl)
+    got = calc_map_k_bucketed(qb, rb, ql, rl, chunk=9, block=512)
+    assert abs(got - want) < 1e-5
