@@ -388,8 +388,8 @@ class BaseTrainer:
 
     def train_epoch(self, epoch: int):
         self.logger.info(">>>>>> epochs: %d/%d" % (epoch, self.epochs))
-        all_loss = 0.0
-        times = 0
+        all_loss = None  # device scalar — fetching per step would stall the
+        times = 0        # pipeline on a ~40ms host sync each iteration
         t0 = time.time()
         examples = 0
         for batch in self.train_loader:
@@ -400,7 +400,7 @@ class BaseTrainer:
                 self._profiling = True
             device_batch = self._put_batch(batch)
             self.state, loss, loss_dict = self._train_step(self.state, device_batch)
-            all_loss += float(loss)
+            all_loss = loss if all_loss is None else all_loss + loss
             examples += int(batch["valid"].sum())
             if self._profiling and self.global_step >= 2 + self.profile_steps:
                 jax.block_until_ready(loss)
@@ -416,9 +416,12 @@ class BaseTrainer:
             jax.profiler.stop_trace()
             self._profiling = False
             self.logger.info(f"profiler trace written to {self.profile_dir}")
+        # the host fetch is the sync point — take it before stopping the clock
+        # so throughput measures completed work, not dispatch rate
+        epoch_loss = float(all_loss) / max(times, 1) if all_loss is not None else 0.0
         dt = time.time() - t0
         self.logger.info(
-            f">>>>>> [{epoch}/{self.epochs}] loss: {all_loss / max(times, 1)}, "
+            f">>>>>> [{epoch}/{self.epochs}] loss: {epoch_loss}, "
             f"lr: {self._current_lr_str()}, "
             f"throughput: {examples / max(dt, 1e-9):.1f} pairs/s"
         )
