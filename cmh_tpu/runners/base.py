@@ -114,7 +114,10 @@ class BaseTrainer:
         if distributed or cfg.run.get("distribute", False):
             from ..parallel.mesh import make_mesh
 
-            self.mesh = make_mesh(n_devices=world_size if world_size > 1 else None)
+            self.mesh = make_mesh(
+                n_devices=world_size if world_size > 1 else None,
+                tp=cfg.run.get("tp", 1),
+            )
             self.logger.info(f"mesh: {self.mesh}")
 
         self.build_dataset(
@@ -330,21 +333,31 @@ class BaseTrainer:
             return img, txt
 
         if self.mesh is not None:
-            from ..parallel.mesh import batch_sharding, replicated
+            from ..parallel.mesh import TP_AXIS, batch_sharding, replicated
 
             rep = replicated(self.mesh)
             shard = batch_sharding(self.mesh)
-            # state replicated, batch sharded over dp; outputs replicated —
-            # XLA inserts the gradient psum and eval-code all-gather on ICI
+            if self.mesh.shape[TP_AXIS] > 1:
+                # Megatron-style backbone sharding over tp (parallel/tp.py);
+                # params/optimizer moments carry the same layout
+                from ..parallel.tp import state_shardings, tp_param_shardings
+
+                state_sh = state_shardings(self.state, self.mesh)
+                params_sh = tp_param_shardings(self.state.params, self.mesh)
+            else:
+                state_sh = rep
+                params_sh = rep
+            # batch sharded over dp; XLA inserts the gradient psum and the
+            # tp-axis all-reduces on ICI
             self._train_step = jax.jit(
                 train_step,
-                in_shardings=(rep, shard),
-                out_shardings=(rep, rep, rep),
+                in_shardings=(state_sh, shard),
+                out_shardings=(state_sh, rep, rep),
                 donate_argnums=(0,),
             )
             self._encode_step = jax.jit(
                 encode_step,
-                in_shardings=(rep, rep, shard),
+                in_shardings=(params_sh, rep, shard),
                 out_shardings=(rep, rep),
             )
         else:
