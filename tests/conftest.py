@@ -24,3 +24,9 @@ import jax  # noqa: E402
 # (safe as long as no backend has been initialized yet).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# the suite is compile-dominated on the 1-core CI host; persist compiled
+# programs across runs (tiny-CLIP train steps recompile identically)
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
