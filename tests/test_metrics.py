@@ -122,3 +122,22 @@ def test_calc_map_k_perfect_retrieval_is_one():
     labels = np.asarray([[1, 0], [0, 1]] * 3, dtype=np.float32)
     got = calc_map_k(codes, codes, labels, labels)
     assert abs(got - 1.0) < 1e-6
+
+
+def test_calc_map_k_long_codes_argsort_route():
+    """>256-bit codes (TwDH long codes) take the argsort path — verify it
+    against the numpy oracle."""
+    rng = np.random.RandomState(12)
+    qb = rng.choice([-1.0, 1.0], size=(9, 512)).astype(np.float32)
+    rb = rng.choice([-1.0, 1.0], size=(71, 512)).astype(np.float32)
+    ql = (rng.rand(9, 4) > 0.5).astype(np.float32)
+    rl = (rng.rand(71, 4) > 0.5).astype(np.float32)
+    ql[:, 0] = 1
+    rl[0, 0] = 1
+    want = calc_map_k_numpy(qb, rb, ql, rl)
+    got = calc_map_k(qb, rb, ql, rl, chunk=4)
+    assert abs(got - want) < 1e-5
+    # and with a k-limit
+    want_k = calc_map_k_numpy(qb, rb, ql, rl, k=10)
+    got_k = calc_map_k(qb, rb, ql, rl, k=10, chunk=4)
+    assert abs(got_k - want_k) < 1e-5
