@@ -41,7 +41,7 @@ def _sync(x):
 
 
 def bench_hamming(num_q=5000, num_r=110_000, bits=64, iters=30):
-    """Packed-code Hamming throughput via the MXU Pallas kernel.
+    """Packed-code Hamming throughput via the VPU XOR+popcount Pallas kernel.
 
     Timing discipline for the tunneled TPU backend: distinct inputs per
     iteration (identical-input executions can be served from a cache), a

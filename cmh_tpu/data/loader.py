@@ -59,7 +59,8 @@ class HostDataLoader:
             return self._rng.permutation(n)
         return np.arange(n)
 
-    def _make_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+    def _make_batch(self, idx: np.ndarray, size: Optional[int] = None) -> Dict[str, np.ndarray]:
+        size = len(idx) if size is None else size
         if self.num_workers > 0:
             if self._pool is None:
                 from concurrent.futures import ThreadPoolExecutor
@@ -78,13 +79,6 @@ class HostDataLoader:
             "label": np.stack(labels).astype(np.float32),
             "index": np.asarray(indices, dtype=np.int32),
         }
-        size = len(items)
-        if self.pad_to_batch and size < self.batch_size:
-            pad = self.batch_size - size
-            for key, arr in batch.items():
-                batch[key] = np.concatenate(
-                    [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0
-                )
         batch["valid"] = (np.arange(len(batch["index"])) < size)
         return batch
 
@@ -95,9 +89,20 @@ class HostDataLoader:
         steps = []
         for start in range(0, n, self.batch_size):
             chunk = indices[start : start + self.batch_size]
-            if len(chunk) < self.batch_size and self.drop_last:
-                continue
-            steps.append(chunk)
+            size = len(chunk)
+            if size < self.batch_size:
+                if self.drop_last:
+                    continue
+                if self.pad_to_batch:
+                    # pad the ragged final batch with *distinct* samples
+                    # wrapped from the start of this epoch's order — never
+                    # copies of one item, which would distort pairwise
+                    # similarity losses if the pad ever leaked past the
+                    # ``valid`` mask (the reference instead ships a ragged
+                    # batch; static shapes keep the XLA compile cache warm)
+                    pad = np.resize(indices, self.batch_size - size)
+                    chunk = np.concatenate([chunk, pad])
+            steps.append((chunk, size))
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -105,8 +110,8 @@ class HostDataLoader:
 
         def worker():
             try:
-                for chunk in steps:
-                    q.put(self._make_batch(chunk))
+                for chunk, size in steps:
+                    q.put(self._make_batch(chunk, size))
             except Exception as e:  # surface worker errors to the consumer
                 err.append(e)
             finally:

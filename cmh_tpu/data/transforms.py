@@ -22,9 +22,13 @@ CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
 
 
 def normalize(img: np.ndarray) -> np.ndarray:
-    """HWC uint8/float [0,255] or [0,1] → normalized float32 HWC."""
-    x = np.asarray(img, dtype=np.float32)
-    if x.max() > 1.5:
+    """HWC uint8 [0,255] or float [0,1] → normalized float32 HWC.
+
+    Branches on dtype like torchvision ToTensor (integer → /255), not on a
+    value heuristic — a nearly-black uint8 image must still be rescaled."""
+    img = np.asarray(img)
+    x = img.astype(np.float32)
+    if np.issubdtype(img.dtype, np.integer):
         x = x / 255.0
     return (x - CLIP_MEAN) / CLIP_STD
 

@@ -35,7 +35,19 @@ def read_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         model = torch.jit.load(path, map_location="cpu").eval()
         state_dict = model.state_dict()
     except RuntimeError:
-        state_dict = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            state_dict = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            # weights_only rejects pickled nn.Module checkpoints; loading
+            # those executes arbitrary pickled code — only do it with a
+            # warning, for reference-parity with torch.load of full models
+            import warnings
+
+            warnings.warn(
+                f"{path} is not a plain state_dict; falling back to "
+                "unsafe torch.load(weights_only=False)"
+            )
+            state_dict = torch.load(path, map_location="cpu", weights_only=False)
         if hasattr(state_dict, "state_dict"):
             state_dict = state_dict.state_dict()
     return {k: _t(v) for k, v in state_dict.items()}

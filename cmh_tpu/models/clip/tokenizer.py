@@ -5,8 +5,11 @@ Behavioral re-implementation of the reference tokenizer
 mapping, same merge table (`bpe_simple_vocab_16e6.txt.gz`, a public OpenAI
 data asset), same lowercasing/whitespace regex, so identical input text
 produces identical token id sequences. ftfy is unavailable in this image, so
-``basic_clean`` falls back to html-unescaping + strip (ftfy's mojibake repair
-only matters for corrupted input text; benchmark captions are clean ASCII).
+``basic_clean`` falls back to a vendored minimal mojibake repair
+(``fix_text``): UTF-8 bytes mis-decoded as cp1252/latin-1 — the dominant
+corruption in real nuswide/mirflickr tags — are re-decoded, then NFC
+normalization is applied, matching what ftfy.fix_text does to such inputs
+(reference simple_tokenizer.py:50-55).
 
 Registered as ``clip_tokenizer`` for registry dispatch from dataset configs.
 """
@@ -65,9 +68,33 @@ def get_pairs(word) -> set:
     return set(zip(word[:-1], word[1:]))
 
 
+def fix_text(text: str) -> str:
+    """Minimal ftfy.fix_text equivalent: undo UTF-8-as-cp1252/latin-1
+    mojibake (iterated, as double-encoding happens in the wild) and apply NFC
+    normalization. Clean text passes through unchanged — an encode/decode
+    round-trip only succeeds when the characters genuinely are a mis-decoded
+    UTF-8 byte sequence."""
+    import unicodedata
+
+    for _ in range(3):
+        if all(ord(ch) < 128 for ch in text):
+            break  # pure ASCII can't be mojibake
+        for enc in ("cp1252", "latin-1"):
+            try:
+                fixed = text.encode(enc).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            break
+        else:
+            break
+        if fixed == text:
+            break
+        text = fixed
+    return unicodedata.normalize("NFC", text)
+
+
 def basic_clean(text: str) -> str:
-    if _HAS_FTFY:
-        text = ftfy.fix_text(text)
+    text = ftfy.fix_text(text) if _HAS_FTFY else fix_text(text)
     text = html.unescape(html.unescape(text))
     return text.strip()
 

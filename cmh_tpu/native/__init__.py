@@ -1,8 +1,11 @@
 """ctypes bindings + on-demand build for the native image-preprocessing lib.
 
 Builds ``libimage_ops.so`` with g++ on first use (no pybind11 in this image;
-the C ABI + ctypes keeps the binding dependency-free). If the toolchain is
-unavailable the data pipeline silently falls back to the PIL path in
+the C ABI + ctypes keeps the binding dependency-free). The binary is never
+committed — it is compiled locally with ``-march=native`` and sanity-checked
+after load, so a stale or foreign-arch artifact can't silently poison (or
+crash) the data pipeline. If the toolchain is unavailable or the self-test
+fails, the pipeline silently falls back to the PIL path in
 ``data/transforms.py``.
 """
 
@@ -45,6 +48,46 @@ def _build() -> bool:
             return False
 
 
+def _load() -> Optional[ctypes.CDLL]:
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.crop_resize_normalize.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, f32p, f32p, ctypes.c_int,
+    ]
+    lib.crop_resize_normalize.restype = None
+    lib.resize_normalize.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, f32p, f32p, ctypes.c_int,
+    ]
+    lib.resize_normalize.restype = None
+    return lib
+
+
+def _self_test(lib) -> bool:
+    """Sanity-check the loaded binary on a constant image: any interpolation
+    of a constant field must reproduce the exact normalized value."""
+    try:
+        src = np.full((8, 8, 3), 128, dtype=np.uint8)
+        mean = np.asarray([0.5, 0.5, 0.5], dtype=np.float32)
+        std = np.asarray([0.25, 0.25, 0.25], dtype=np.float32)
+        dst = np.empty((4, 4, 3), dtype=np.float32)
+        lib.resize_normalize(
+            _ptr(src, ctypes.c_uint8), 8, 8,
+            _ptr(dst, ctypes.c_float), 4, 4, BILINEAR,
+            _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float), 0,
+        )
+        expected = (128.0 / 255.0 - 0.5) / 0.25
+        return bool(np.allclose(dst, expected, atol=1e-5))
+    except Exception:
+        return False
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None if unavailable."""
     global _lib, _build_failed
@@ -55,31 +98,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB) or (
+        stale = not os.path.exists(_LIB) or (
             os.path.exists(_SRC)
             and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        ):
-            if not _build():
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-        except OSError:
+        )
+        if stale and not _build():
             _build_failed = True
             return None
-        f32p = ctypes.POINTER(ctypes.c_float)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.crop_resize_normalize.argtypes = [
-            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, f32p, f32p, ctypes.c_int,
-        ]
-        lib.crop_resize_normalize.restype = None
-        lib.resize_normalize.argtypes = [
-            u8p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, f32p, f32p, ctypes.c_int,
-        ]
-        lib.resize_normalize.restype = None
+        lib = _load()
+        if lib is None or not _self_test(lib):
+            # wrong-arch or corrupted binary: rebuild once from source
+            try:
+                os.remove(_LIB)
+            except OSError:
+                pass
+            lib = _load() if _build() else None
+            if lib is None or not _self_test(lib):
+                _build_failed = True
+                return None
         _lib = lib
         return _lib
 

@@ -42,7 +42,16 @@ def load_center_file(path: str) -> np.ndarray:
     """Load a torch-pickled center/transform tensor (reference data assets)."""
     import torch
 
-    t = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        t = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"{path} is not a weights-only pickle; falling back to unsafe "
+            "torch.load(weights_only=False)"
+        )
+        t = torch.load(path, map_location="cpu", weights_only=False)
     return np.asarray(t.float().numpy(), dtype=np.float32)
 
 

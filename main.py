@@ -28,7 +28,8 @@ def get_args():
                         help="save dir.")
     parser.add_argument("--device", type=str, default="0",
                         help="device index (informational on TPU).")
-    parser.add_argument("--seed", type=int, default=1814)
+    parser.add_argument("--seed", type=int, default=None,
+                        help="override run.seed from the YAML (default 1814)")
     parser.add_argument("--distribute", action="store_true", default=False,
                         help="shard training over all visible TPU devices")
     return parser.parse_args()
@@ -39,6 +40,10 @@ def read_config(config_file: str, args):
 
     cfg = load_config(config_file)
     cfg.run.update({"save_dir": args.save_dir})
+    # the reference parses --seed but silently drops it (utils/get_args.py:11,
+    # set_seed call commented out in its main.py:33) — honor it here
+    if args.seed is not None:
+        cfg.run.update({"seed": args.seed})
     return cfg
 
 

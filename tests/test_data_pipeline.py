@@ -117,6 +117,12 @@ def test_end_to_end_mat_pipeline(mat_dataset_dir):
         assert b["text"].shape == (4, 12)
     # last batch padded: 10 items → batches of 4,4,2(+2 pad)
     assert batches[-1]["valid"].sum() == 2
+    # padding wraps *distinct* samples from the epoch's start, never copies
+    # of the last item (duplicated rows would distort pairwise-similarity
+    # losses in the final train step of non-divisible epochs)
+    last = batches[-1]["index"]
+    assert len(set(last.tolist())) == len(last)
+    assert last[2] == batches[0]["index"][0] and last[3] == batches[0]["index"][1]
 
 
 def test_npy_image_path(tmp_path):
@@ -154,3 +160,19 @@ def test_loader_thread_pool_matches_serial(mat_dataset_dir):
         # eval transform is deterministic → identical batches
         np.testing.assert_array_equal(a["text"], b["text"])
         np.testing.assert_array_equal(a["index"], b["index"])
+
+
+def test_normalize_branches_on_dtype():
+    """A nearly-black uint8 image must still be scaled by /255 (dtype branch,
+    not a value heuristic); float inputs are assumed [0,1] already."""
+    from cmh_tpu.data.transforms import CLIP_MEAN, CLIP_STD, normalize
+
+    dark_u8 = np.ones((4, 4, 3), dtype=np.uint8)  # max pixel == 1
+    out = normalize(dark_u8)
+    expected = np.broadcast_to((1.0 / 255.0 - CLIP_MEAN) / CLIP_STD, out.shape)
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+    unit_float = np.full((4, 4, 3), 0.5, dtype=np.float32)
+    out = normalize(unit_float)
+    expected = np.broadcast_to((0.5 - CLIP_MEAN) / CLIP_STD, out.shape)
+    np.testing.assert_allclose(out, expected, rtol=1e-6)

@@ -91,3 +91,30 @@ def test_tokenize_caption_truncation(tok):
     assert ids.shape == (8,)
     assert ids[0] == SOT_ID
     assert ids[-1] == EOT_ID  # EOT appended after truncation to max-1
+
+
+def test_fix_text_mojibake_repair():
+    """Vendored ftfy-equivalent: UTF-8-as-cp1252/latin-1 mojibake is
+    repaired, clean text (ASCII or real unicode) passes through unchanged."""
+    from cmh_tpu.models.clip.tokenizer import fix_text
+
+    # classic single mojibake (utf-8 bytes read as latin-1 / cp1252)
+    assert fix_text("cafÃ©") == "café"
+    assert fix_text("donâ€™t") == "don’t"          # cp1252-only bytes (0x80-0x9f)
+    assert fix_text("naÃ¯ve rÃ©sumÃ©") == "naïve résumé"
+    # double-encoded mojibake needs the iterated pass
+    double = "é".encode("utf-8").decode("latin-1").encode("utf-8").decode("latin-1")
+    assert fix_text(double) == "é"
+    # clean inputs are untouched
+    assert fix_text("a photo of a cat") == "a photo of a cat"
+    assert fix_text("Fußball café 北京") == "Fußball café 北京"
+    # NFC normalization (ftfy default): decomposed e + combining acute → é
+    assert fix_text("café") == "café"
+
+
+def test_fix_text_changes_tokenization_of_corrupted_captions(tok):
+    from cmh_tpu.models.clip.tokenizer import fix_text
+
+    corrupted = "a cafÃ© in paris"
+    assert tok.tokenize(corrupted) == tok.tokenize("a café in paris")
+    assert fix_text(corrupted) == "a café in paris"
