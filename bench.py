@@ -40,14 +40,19 @@ def _sync(x):
     return x
 
 
-def bench_hamming(num_q=5000, num_r=110_000, bits=64, iters=30):
+def bench_hamming(num_q=5000, num_r=110_000, bits=64, iters=16, runs=3):
     """Packed-code Hamming throughput via the VPU XOR+popcount Pallas kernel.
 
-    Timing discipline for the tunneled TPU backend: distinct inputs per
-    iteration (identical-input executions can be served from a cache), a
-    device-side dependency chain across iterations, and ONE host fetch of
-    the chained scalar at the end — per-call host syncs measure the ~40ms
-    relay round-trip instead of the kernel.
+    Timing discipline for the tunneled TPU backend (cost a round to learn,
+    see CLAUDE.md "Benchmarking traps"): the iteration loop lives ON DEVICE —
+    one ``lax.scan`` over a stacked (iters, Q, W) query tensor inside a
+    single jitted program, so a run is ONE dispatch and ONE host fetch.
+    A python-side loop of jitted calls would pay the ~40ms relay dispatch
+    per iteration and measure the tunnel, not the kernel (this is exactly
+    how round 1's driver bench ended up 10× under the dev number). Inputs
+    differ per iteration (identical inputs can hit backend caches) and the
+    scan carries a data dependency so iterations can't be elided. Reports
+    the median of ``runs`` runs.
     """
     import jax
     import jax.numpy as jnp
@@ -59,25 +64,32 @@ def bench_hamming(num_q=5000, num_r=110_000, bits=64, iters=30):
     rng = np.random.RandomState(0)
     r = jnp.asarray(rng.choice([-1.0, 1.0], size=(num_r, bits)).astype(np.float32))
     rp = _sync(pack_bits(r))
-    qps = [
-        _sync(pack_bits(jnp.asarray(
-            rng.choice([-1.0, 1.0], size=(num_q, bits)).astype(np.float32)
-        )))
-        for _ in range(iters)
-    ]
+
+    def stacked_queries(seed):
+        rs = np.random.RandomState(seed)
+        qs = rs.choice([-1.0, 1.0], size=(iters, num_q, bits)).astype(np.float32)
+        return _sync(jax.vmap(pack_bits)(jnp.asarray(qs)))
 
     @jax.jit
-    def ham_sum(qp, rp):
-        return jnp.sum(hamming_packed(qp, rp), dtype=jnp.float32)
+    def ham_scan(qstack, rp):
+        def body(carry, qp):
+            # carry-dependent perturbation: no iteration can be hoisted/CSEd
+            q = jnp.bitwise_xor(qp, carry.astype(jnp.uint32) & jnp.uint32(1))
+            s = jnp.sum(hamming_packed(q, rp), dtype=jnp.float32)
+            return carry + s, s
 
-    float(ham_sum(qps[0], rp))  # compile + warm
-    t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    for qp in qps:
-        acc = acc + ham_sum(qp, rp)
-    float(acc)
-    dt = (time.perf_counter() - t0) / iters
-    return num_q * num_r / dt
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), qstack)
+        return total
+
+    stacks = [stacked_queries(s) for s in range(runs)]
+    float(ham_scan(stacks[0], rp))  # compile + warm
+    rates = []
+    for qstack in stacks:
+        t0 = time.perf_counter()
+        float(ham_scan(qstack, rp))  # one dispatch, one fetch
+        dt = (time.perf_counter() - t0) / iters
+        rates.append(num_q * num_r / dt)
+    return float(np.median(rates))
 
 
 def bench_encode_best(batches=(64, 256), iters=10):

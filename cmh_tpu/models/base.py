@@ -125,18 +125,35 @@ class Method:
 
 def resolve_clip_cfg(cfg_model, clip_cfg: Optional[CLIPConfig]) -> CLIPConfig:
     """CLIP geometry: explicit override > clip_variant key > checkpoint
-    shapes > ViT-B/32 defaults."""
+    shapes > ViT-B/32 defaults.
+
+    ``clip_dtype`` in the model config selects the backbone matmul dtype
+    (default bfloat16 — the TPU-native choice; ``float32`` gives exact
+    torch-reference parity for validation runs)."""
     if clip_cfg is not None:
         return clip_cfg
     import os
 
+    import jax.numpy as jnp
+
+    dtype_name = cfg_model.get("clip_dtype", None) if cfg_model else None
+    dtype = {
+        None: None,
+        "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+        "float32": jnp.float32, "fp32": jnp.float32,
+        "float16": jnp.float16, "fp16": jnp.float16,
+    }[dtype_name if dtype_name is None else str(dtype_name)]
+
     variant = cfg_model.get("clip_variant", None) if cfg_model else None
     if variant == "tiny":
-        return CLIPConfig.tiny()
+        # tests default fp32 (exact torch parity on CPU)
+        return CLIPConfig.tiny(dtype=dtype or jnp.float32)
 
     clip_path = cfg_model.get("clip_path", "./ViT-B-32.pt") if cfg_model else ""
     if clip_path and os.path.exists(clip_path):
         from .clip.loader import infer_config, read_torch_state_dict
 
-        return infer_config(read_torch_state_dict(clip_path))
-    return CLIPConfig()
+        # real checkpoints default bf16 (the TPU-native matmul dtype)
+        return infer_config(read_torch_state_dict(clip_path),
+                            dtype=dtype or jnp.bfloat16)
+    return CLIPConfig(dtype=dtype) if dtype else CLIPConfig()

@@ -55,18 +55,55 @@ def kaiming_dense(features: int, name: str = None, dtype=jnp.float32) -> nn.Dens
     )
 
 
+class _TorchBatchNorm(nn.Module):
+    """Exact torch BatchNorm semantics, which flax's nn.BatchNorm does NOT
+    match: torch normalizes the batch with the *biased* variance but updates
+    ``running_var`` with the *unbiased* (n/(n-1)) variance. The reference
+    DCMHT image head runs BatchNorm1d eval-side every epoch, so the biased
+    running-var of flax BatchNorm drifts all image codes by ~var·1/(n-1) —
+    caught by tests/test_reference_e2e_parity.py."""
+
+    features: int
+    momentum: float = 0.1  # torch convention (weight of the new batch)
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x = x.astype(jnp.float32)
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        if train:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.mean(jnp.square(x - mean), axis=0)  # biased: normalizes
+            if not self.is_initializing():
+                n = x.shape[0]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
 class BatchNorm1d(nn.Module):
-    """torch BatchNorm1d equivalent (momentum 0.1, eps 1e-5, affine)."""
+    """torch BatchNorm1d equivalent (momentum 0.1, eps 1e-5, affine).
+
+    Wraps ``_TorchBatchNorm`` under the child name ``bn`` to keep the
+    param/batch_stats tree layout (…/norm/bn/{scale,bias,mean,var}) stable
+    for checkpoints and the torch importer."""
 
     features: int
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        bn = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,  # flax momentum = 1 - torch momentum(0.1)
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            name="bn",
-        )
-        return bn(x.astype(jnp.float32))
+        return _TorchBatchNorm(self.features, name="bn")(x, train=train)

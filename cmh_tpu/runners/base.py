@@ -454,20 +454,43 @@ class BaseTrainer:
         """Continuous codes for one eval batch (override point)."""
         return self._encode_step(self.state.params, self.state.model_state, batch)
 
+    def _scatter_codes(self, buffers, hashes, idx, valid):
+        """Binarize one eval batch and scatter it into the device-resident
+        code buffers — entirely inside jit. The round-1 version fetched
+        ``np.asarray(code)`` per loader batch, paying a blocking ~40ms relay
+        round-trip each time; accumulating on device defers the single host
+        sync to whoever consumes the buffers (mAP kernel / save_mat).
+
+        ``buffers``/``hashes`` are matching pytrees (plain pairs for most
+        methods; nested dicts for TwDH's multi-dim codes)."""
+        if not hasattr(self, "_scatter_jit"):
+            make = self.method.make_hash_code
+
+            def scatter(bufs, hs, idx, valid):
+                def upd(buf, h):
+                    code = make(h).astype(buf.dtype)
+                    safe = jnp.where(valid, idx, buf.shape[0])  # pad → dropped
+                    return buf.at[safe].set(code, mode="drop")
+
+                return jax.tree_util.tree_map(upd, bufs, hs)
+
+            self._scatter_jit = jax.jit(scatter, donate_argnums=(0,))
+        return self._scatter_jit(
+            buffers, hashes, jnp.asarray(idx), jnp.asarray(valid)
+        )
+
     def get_code(self, data_loader, length: int):
         k = self.method.eval_code_dims()
-        img_buffer = np.zeros((length, k), dtype=np.float32)
-        txt_buffer = np.zeros((length, k), dtype=np.float32)
+        img_buffer = jnp.zeros((length, k), dtype=jnp.float32)
+        txt_buffer = jnp.zeros((length, k), dtype=jnp.float32)
         for batch in data_loader:
             device_batch = self._put_batch(batch)
             img_hash, txt_hash = self.generate_hash(device_batch)
-            img_code = np.asarray(self.method.make_hash_code(img_hash))
-            txt_code = np.asarray(self.method.make_hash_code(txt_hash))
-            valid = batch["valid"]
-            idx = batch["index"][valid]
-            img_buffer[idx] = img_code[valid]
-            txt_buffer[idx] = txt_code[valid]
-        return jnp.asarray(img_buffer), jnp.asarray(txt_buffer)
+            img_buffer, txt_buffer = self._scatter_codes(
+                (img_buffer, txt_buffer), (img_hash, txt_hash),
+                batch["index"], batch["valid"],
+            )
+        return img_buffer, txt_buffer
 
     def valid(self, epoch: int, k: Optional[int] = None):
         assert self.query_loader is not None and self.retrieval_loader is not None

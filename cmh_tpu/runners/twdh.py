@@ -73,28 +73,23 @@ class TwDHTrainer(BaseTrainer):
 
     def get_code(self, data_loader, length: int):
         short_dims = self.method.short_dims
-        long_img = np.zeros((length, self.long_dim), dtype=np.float32)
-        long_txt = np.zeros((length, self.long_dim), dtype=np.float32)
-        short_img = {str(d): np.zeros((length, d), np.float32) for d in short_dims}
-        short_txt = {str(d): np.zeros((length, d), np.float32) for d in short_dims}
-
-        code = self.method.make_hash_code
+        buffers = (
+            jnp.zeros((length, self.long_dim), jnp.float32),
+            jnp.zeros((length, self.long_dim), jnp.float32),
+            {str(d): jnp.zeros((length, d), jnp.float32) for d in short_dims},
+            {str(d): jnp.zeros((length, d), jnp.float32) for d in short_dims},
+        )
         for batch in data_loader:
             db = self._put_batch(batch)
             il, ish, tl, tsh = self._encode_multi(
                 self.state.params, self.state.model_state,
                 self.state.method_state, db,
             )
-            valid = batch["valid"]
-            idx = batch["index"][valid]
-            long_img[idx] = np.asarray(code(il))[valid]
-            long_txt[idx] = np.asarray(code(tl))[valid]
-            for k in ish:
-                short_img[k][idx] = np.asarray(code(ish[k]))[valid]
-                short_txt[k][idx] = np.asarray(code(tsh[k]))[valid]
-        return (jnp.asarray(long_img), jnp.asarray(long_txt),
-                {k: jnp.asarray(v) for k, v in short_img.items()},
-                {k: jnp.asarray(v) for k, v in short_txt.items()})
+            # device-side scatter (base._scatter_codes) — no per-batch fetch
+            buffers = self._scatter_codes(
+                buffers, (il, tl, ish, tsh), batch["index"], batch["valid"]
+            )
+        return buffers
 
     def valid(self, epoch: int, k: Optional[int] = None):
         save_dir = os.path.join(self.save_dir, "mat_files")

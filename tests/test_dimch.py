@@ -143,3 +143,78 @@ def test_dimch_train_smoke(tmp_path):
     assert np.isfinite(losses).all()
     maps = tr.valid(epoch=0)
     assert all(0 <= m <= 1 for m in maps)
+
+
+# --------------------------------------- reference modules as oracles
+
+def _ref():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_shims import load_reference
+
+    load_reference()
+
+
+def test_chamfer_parity_vs_reference_module():
+    """Runs the real reference SetwiseDistance
+    (/root/reference/models/DIMCH/distance/distance.py:21-125)."""
+    _ref()
+    import sys
+
+    from ref_shims import cuda_noop
+
+    from models.DIMCH.distance.distance import SetwiseDistance
+
+    img, txt = _sets(seed=1), _sets(seed=2)
+    b, m, d = img.shape
+    c, n, _ = txt.shape
+    with cuda_noop():
+        ref = SetwiseDistance(img_set_size=m, txt_set_size=n,
+                              denominator=2.0, temperature=16,
+                              temperature_txt_scale=1, mode="chamfer")
+    with torch.no_grad():
+        want = ref.compute(
+            torch.tensor(img.reshape(-1, d)), torch.tensor(txt.reshape(-1, d))
+        ).numpy()
+    got = np.asarray(chamfer_similarity(jnp.asarray(img), jnp.asarray(txt)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    img, txt = _sets(seed=3), _sets(seed=4)
+    with cuda_noop():
+        ref = SetwiseDistance(img_set_size=m, txt_set_size=n,
+                              denominator=2.0, temperature=16,
+                              temperature_txt_scale=1, mode="smooth_chamfer")
+    with torch.no_grad():
+        want = ref.compute(
+            torch.tensor(img.reshape(-1, d)), torch.tensor(txt.reshape(-1, d))
+        ).numpy()
+    got = np.asarray(
+        smooth_chamfer_similarity(jnp.asarray(img), jnp.asarray(txt))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_triplet_parity_vs_reference_module():
+    """Runs the real reference TripletLoss
+    (/root/reference/models/DIMCH/loss/triplet_loss.py:42-88)."""
+    _ref()
+    from models.DIMCH.loss.triplet_loss import TripletLoss
+
+    rng = np.random.RandomState(6)
+    labels = (rng.rand(8, 4) > 0.5).astype(np.float32)
+    labels[:, 0] = 1
+    labels[3] = 0
+    labels[3, 1] = 1
+    dist = np.abs(rng.randn(8, 8)).astype(np.float32)
+    ref = TripletLoss(reduction="mean")
+    with torch.no_grad():
+        want = float(ref(
+            source=torch.zeros(8, 4), s_labels=torch.tensor(labels),
+            distance=torch.tensor(dist), margin=0.3,
+        ))
+    got = float(
+        weighted_triplet_loss(jnp.asarray(dist), jnp.asarray(labels), margin=0.3)
+    )
+    assert abs(got - want) < 1e-4

@@ -193,3 +193,89 @@ def test_assign_noise_greedy_path():
     a, n = np.asarray(assigned), np.asarray(noises)
     matched = sum(any(np.array_equal(a[i], n[j]) for j in range(6)) for i in range(6))
     assert matched == 6
+
+
+# --------------------------------------- reference modules as oracles
+# (not hand-transcribed re-executions: the following import and run the
+# actual /root/reference loss code)
+
+def _ref():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_shims import load_reference
+
+    load_reference()
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.8])
+def test_dsph_hyp_parity_vs_reference_module(alpha):
+    """Runs the real reference HyP (/root/reference/models/DSPH/loss/HyP.py)."""
+    _ref()
+    from models.DSPH.loss.HyP import HyP
+
+    rng = np.random.RandomState(0)
+    b, k, c = 12, 16, 6
+    img = rng.randn(b, k).astype(np.float32)
+    txt = rng.randn(b, k).astype(np.float32)
+    proxies = rng.randn(c, k).astype(np.float32)
+    labels = (rng.rand(b, c) > 0.6).astype(np.float32)
+    labels[:, 0] = 1
+    labels[0] = 0
+    labels[0, 1] = 1
+    ref = HyP(numclass=c, output_dim=k, alpha=alpha, threshold=0.375)
+    with torch.no_grad():
+        ref.proxies.data = torch.tensor(proxies)
+        want = float(ref(torch.tensor(img), torch.tensor(txt),
+                         torch.tensor(labels)))
+    got = float(
+        hyp_loss(jnp.asarray(img), jnp.asarray(txt), jnp.asarray(proxies),
+                 jnp.asarray(labels), threshold=0.375, alpha=alpha)
+    )
+    assert abs(got - want) < 1e-4
+
+
+def test_dnph_loss_parity_vs_reference_module():
+    """Runs the real reference Loss (/root/reference/models/DNPH/loss/loss.py)."""
+    _ref()
+    from models.DNPH.loss.loss import Loss
+
+    rng = np.random.RandomState(1)
+    b, k, c = 10, 16, 5
+    img = np.tanh(rng.randn(b, k)).astype(np.float32)
+    txt = np.tanh(rng.randn(b, k)).astype(np.float32)
+    ip = rng.randn(b, c).astype(np.float32)
+    tp = rng.randn(b, c).astype(np.float32)
+    proxies = (rng.randn(c, k) / 8).astype(np.float32)
+    labels = np.eye(c, dtype=np.float32)[rng.randint(0, c, b)]
+    ref = Loss(num_classes=c, output_dim=k, mrg=1.0)
+    with torch.no_grad():
+        ref.proxies.data = torch.tensor(proxies)
+        want = float(ref(torch.tensor(img), torch.tensor(txt),
+                         torch.tensor(ip), torch.tensor(tp),
+                         torch.tensor(labels), torch.tensor(labels)))
+    got = float(
+        dnph_proxy_loss(jnp.asarray(img), jnp.asarray(txt), jnp.asarray(ip),
+                        jnp.asarray(tp), jnp.asarray(proxies),
+                        jnp.asarray(labels), mrg=1.0)
+    )
+    assert abs(got - want) < 1e-4
+
+
+def test_dnph_noise_assignment_matches_reference_gene_noise():
+    """Runs the real reference gene_noise
+    (/root/reference/models/DNPH/loss/b_reg.py:21-41)."""
+    _ref()
+    from models.DNPH.loss.b_reg import gene_noise
+
+    rng = np.random.RandomState(2)
+    b, k = 24, 16
+    codes = np.tanh(rng.randn(b, k)).astype(np.float64)
+    noises = (rng.randint(0, 2, size=(b, k)) * 2 - 1).astype(np.float64)
+    want = gene_noise(codes, noises)
+    got = np.asarray(
+        assign_noise(jnp.asarray(codes, jnp.float32),
+                     jnp.asarray(noises, jnp.float32), method="hungarian")
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)

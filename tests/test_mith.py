@@ -134,3 +134,42 @@ def test_mith_train_smoke(tmp_path):
     # bank rows for seen indices were updated away from the randn init
     maps = tr.valid(epoch=0)
     assert all(0 <= m <= 1 for m in maps)
+
+
+def test_lta_parity_vs_reference_module():
+    """Runs the real reference LocalizedTokenAggregation
+    (/root/reference/models/MITH/hash/hash.py:109-169)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_shims import load_reference
+
+    load_reference()
+    from models.MITH.hash.hash import LocalizedTokenAggregation
+
+    rng = np.random.RandomState(0)
+    L, N, K, D = 7, 3, 5, 6
+    x = rng.randn(L, N, D).astype(np.float32)
+    concept = np.tanh(rng.randn(L, N, K)).astype(np.float32)
+    kpm = np.zeros((N, L), dtype=bool)
+    kpm[0, 5:] = True
+    kpm[1, 3:] = True
+    ref = LocalizedTokenAggregation(top_k=2)
+    with torch.no_grad():
+        want_merged, want_pseudo = ref(
+            torch.tensor(x), torch.tensor(concept),
+            key_padding_mask=torch.tensor(kpm),
+        )  # returns KND, LNK
+    got_merged, got_pseudo = localized_token_aggregation(
+        jnp.asarray(x.transpose(1, 0, 2)),        # N,L,D
+        jnp.asarray(concept.transpose(1, 0, 2)),  # N,L,K
+        top_k=2,
+        key_padding_mask=jnp.asarray(kpm),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_merged), want_merged.permute(1, 0, 2).numpy(), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_pseudo), want_pseudo.permute(1, 0, 2).numpy()
+    )

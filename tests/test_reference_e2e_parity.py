@@ -1,0 +1,282 @@
+"""Reference-in-the-loop end-to-end training parity (the ±0.005 north star).
+
+Runs the ACTUAL torch reference DCMHTTrainer (/root/reference/runners/DCMHT/
+runner.py:107-128) and the cmh_tpu trainer side by side: same synthetic .mat
+dataset on disk, same seed (hence bit-identical query/train/retrieval split),
+same tiny CLIP checkpoint, and bit-identical initial weights (the reference
+model's post-fp16-round state is transplanted into our param tree via
+models/torch_import.py). Both train for several epochs with deterministic
+transforms and no shuffling; the 4-direction mAP trajectories must agree
+within ±0.005 at every epoch.
+
+This is the composition test the per-component parity suites can't provide:
+one seam mismatch anywhere — split RNG consumption, binarization order,
+BertAdam schedule off-by-one, BatchNorm semantics, loss scaling — shows up
+as trajectory drift here.
+"""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+import scipy.io as scio
+import torch
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ref_shims import load_reference  # noqa: E402
+
+N_ITEMS = 300
+N_CLASSES = 4
+QUERY_NUM = 50
+TRAIN_NUM = 100
+BATCH = 25
+EPOCHS = 3
+RES = 32
+MAX_WORD = 12
+SEED = 1814
+
+CLASS_WORDS = ["red circle", "green square", "blue star", "yellow moon"]
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    """Label-correlated images + captions so training moves mAP (pure-noise
+    data would leave both trainers at chance and make parity vacuous)."""
+    root = tmp_path_factory.mktemp("parity_data")
+    ds = root / "parity"
+    os.makedirs(ds)
+    rng = np.random.RandomState(7)
+
+    labels = np.zeros((N_ITEMS, N_CLASSES), dtype=np.float64)
+    for i in range(N_ITEMS):
+        pos = rng.choice(N_CLASSES, size=rng.randint(1, 3), replace=False)
+        labels[i, pos] = 1.0
+
+    # class c brightens quadrant c; noise on top
+    imgs = rng.randint(40, 90, size=(N_ITEMS, RES, RES, 3)).astype(np.float64)
+    h = RES // 2
+    quads = [(slice(0, h), slice(0, h)), (slice(0, h), slice(h, None)),
+             (slice(h, None), slice(0, h)), (slice(h, None), slice(h, None))]
+    for c, (sy, sx) in enumerate(quads):
+        imgs[labels[:, c] > 0, sy, sx, c % 3] += 120.0
+    imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+    np.save(str(ds / "images.npy"), imgs)
+
+    caps = ["a photo of " + " and ".join(
+        CLASS_WORDS[c] for c in range(N_CLASSES) if labels[i, c] > 0
+    ) for i in range(N_ITEMS)]
+    # (n,1) unicode (non-object) arrays round-trip so that captions[i][0]
+    # is an np.str_ — the shape the reference _load_text indexes into
+    # (dataset/transformer_dataset.py:73-80)
+    scio.savemat(str(ds / "caption.mat"),
+                 {"caption": np.asarray(caps).reshape(-1, 1)})
+    scio.savemat(str(ds / "label.mat"), {"category": labels})
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def clip_ckpt(tmp_path_factory):
+    """Tiny torch CLIP built from the reference source, saved as a plain
+    state_dict (the reference load_backbone falls back to torch.load,
+    models/base.py:18-31)."""
+    load_reference()
+    from models.CLIP.model import CLIP as RefCLIP
+
+    torch.manual_seed(3)
+    tm = RefCLIP(
+        embed_dim=32, image_resolution=RES, vision_layers=2, vision_width=64,
+        vision_patch_size=8, context_length=16, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2,
+    ).float()
+    path = str(tmp_path_factory.mktemp("ckpt") / "clip_tiny.pt")
+    torch.save(tm.state_dict(), path)
+    return path
+
+
+def make_cfg_dict(data_dir, clip_ckpt, save_dir):
+    return {
+        "model": {"arch": "DCMHT", "clip_path": clip_ckpt,
+                  "hash_func": "softmax", "clip_dtype": "float32"},
+        "optimizer": {"arch": "BertAdam", "lr": 0.002, "backbone_lr": 0.0001,
+                      "clip_lr": 0.0001},
+        "dataset": {"arch": "transformer_dataset", "name": "parity",
+                    "path": data_dir, "img_file": "images.npy",
+                    "txt_file": "caption.mat", "label_file": "label.mat",
+                    "image_resolution": RES, "max_word": MAX_WORD},
+        "run": {"arch": "DCMHTTrainer", "save_dir": save_dir,
+                "log_dir": save_dir, "output_dim": 16, "batch_size": BATCH,
+                "is_train": True, "train_num": TRAIN_NUM,
+                "query_num": QUERY_NUM, "epochs": EPOCHS, "seed": SEED,
+                "shuffle": False, "num_workers": 0, "pin_memory": False,
+                "device": "cpu", "display_step": 10_000, "top_k": None},
+    }
+
+
+def stable_calc_map_k(qB, rB, query_L, retrieval_L, k=None):
+    """The reference calc_map_k (common/calc_utils.py:58-92) with ONE change:
+    ``torch.sort(..., stable=True)``.
+
+    The reference's unstable default leaves the order of equal Hamming
+    distances to pdqsort partition internals — a non-semantic artifact that
+    adds ~0.01 mAP of tie-noise at tiny gallery sizes. Both frameworks are
+    compared under the stable tie law (ties broken by gallery index), which
+    is exactly what our counting-rank kernel implements and what
+    tests/test_metrics.py proves equivalent to this oracle.
+    """
+    num_query = query_L.shape[0]
+    if k is None:
+        k = retrieval_L.shape[0]
+    gnds = (query_L.float().mm(retrieval_L.float().t()) > 0).float()
+    tsums = gnds.sum(dim=-1, keepdim=True).int()
+    hamms = 0.5 * (rB.shape[1] - qB.mm(rB.t()))
+    _, ind = torch.sort(hamms, dim=-1, stable=True)
+    totals = torch.min(tsums, torch.tensor([k]).int().expand_as(tsums))
+    m = 0.0
+    for it in range(num_query):
+        gnd = gnds[it][ind[it]]
+        total = int(totals[it])
+        count = torch.arange(1, total + 1).float()
+        tindex = torch.nonzero(gnd)[:total].squeeze(-1).float() + 1.0
+        m += float(torch.mean(count / tindex))
+    return torch.tensor(m / num_query)
+
+
+def run_reference(cfg_dict):
+    """Drive the actual reference trainer; returns (init state_dict, mAP
+    trajectory as a list of [i2t, t2i, i2i, t2t] rows, per-valid code
+    buffers)."""
+    ref_registry = load_reference()
+    from cmh_tpu.config import config_from_dict
+
+    cfg = config_from_dict(cfg_dict)
+    RefTrainer = ref_registry.get_runner_class("DCMHTTrainer")
+
+    class RefDeferredRun(RefTrainer):
+        def run(self):  # training starts inside __init__ — defer it
+            pass
+
+    rt = RefDeferredRun.from_config(cfg=cfg, world_size=1, distributed=False)
+    # deterministic pipeline: train transform → the eval Compose
+    rt.train_loader.dataset.transform = rt.query_loader.dataset.transform
+
+    init_sd = {k: v.detach().clone() for k, v in rt.model.state_dict().items()}
+
+    records = []
+    rt.calc_map_k = lambda *a, **k: (
+        records.append(float(stable_calc_map_k(*a, **k))) or records[-1]
+    )
+
+    codes = []
+    orig_get_code = rt.get_code
+
+    def recording_get_code(loader, length):
+        img, txt = orig_get_code(loader, length)
+        codes.append(np.stack([img.numpy(), txt.numpy()]))
+        return img, txt
+
+    rt.get_code = recording_get_code
+    rt.valid(epoch=-1, k=None)   # init-state mAP (isolates encode parity)
+    rt.train()
+    assert len(records) == 4 * (EPOCHS + 1)
+    rows = [records[i * 4:(i + 1) * 4] for i in range(EPOCHS + 1)]
+    # codes: per valid, [query(2,Q,K), retrieval(2,R,K)]
+    code_rows = [(codes[2 * i], codes[2 * i + 1]) for i in range(EPOCHS + 1)]
+    return init_sd, rows, code_rows
+
+
+def run_ours(cfg_dict, init_sd):
+    import jax.numpy as jnp
+
+    from cmh_tpu.config import config_from_dict
+    from cmh_tpu.models.torch_import import dcmht_from_torch_state
+    from cmh_tpu.registry import registry
+    from cmh_tpu.runners.base import TrainState
+
+    cfg = config_from_dict(cfg_dict)
+    trainer = registry.get_runner_class("DCMHTTrainer").from_config(
+        cfg=cfg, auto_run=False
+    )
+    trainer.train_loader.dataset.is_train = False  # deterministic transform
+
+    params, model_state = dcmht_from_torch_state(init_sd)
+    trainer.state = TrainState(
+        params=jax.tree_util.tree_map(jnp.asarray, params),
+        model_state=jax.tree_util.tree_map(jnp.asarray, model_state),
+        opt_state=trainer.tx.init(params),
+        method_state=trainer.method.init_method_state(),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    rows = []
+    orig_valid = trainer.valid
+
+    def recording_valid(epoch, k=None):
+        maps = orig_valid(epoch, k)
+        rows.append([float(m) for m in maps])
+        return maps
+
+    codes = []
+    orig_get_code = trainer.get_code
+
+    def recording_get_code(loader, length):
+        img, txt = orig_get_code(loader, length)
+        codes.append(np.stack([np.asarray(img), np.asarray(txt)]))
+        return img, txt
+
+    trainer.valid = recording_valid
+    trainer.get_code = recording_get_code
+    trainer.valid(-1, k=None)
+    trainer.train()
+    assert len(rows) == EPOCHS + 1
+    code_rows = [(codes[2 * i], codes[2 * i + 1]) for i in range(EPOCHS + 1)]
+    return rows, code_rows
+
+
+def test_end_to_end_training_parity(data_dir, clip_ckpt, tmp_path):
+    """The composed-system north star: identical data/seed/weights →
+    4-direction mAP within ±0.005 at every epoch of a real training run."""
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        cfg_ref = make_cfg_dict(data_dir, clip_ckpt, str(tmp_path / "ref"))
+        cfg_ours = make_cfg_dict(data_dir, clip_ckpt, str(tmp_path / "ours"))
+        os.makedirs(cfg_ref["run"]["save_dir"], exist_ok=True)
+        os.makedirs(cfg_ours["run"]["save_dir"], exist_ok=True)
+
+        init_sd, ref_rows, ref_codes = run_reference(cfg_ref)
+        our_rows, our_codes = run_ours(cfg_ours, init_sd)
+
+        ref_arr = np.asarray(ref_rows)
+        our_arr = np.asarray(our_rows)
+        # the reference must actually have learned something, or parity is
+        # vacuous (i2t + t2i at the last epoch above the init point)
+        assert (ref_arr[-1, 0] + ref_arr[-1, 1]) > (
+            ref_arr[0, 0] + ref_arr[0, 1] + 0.02
+        ), f"reference trainer did not learn: {ref_rows}"
+
+        # bit-level agreement of the ±1 eval codes — a stronger seam check
+        # than mAP: at init the codes must be identical; over training only
+        # near-zero activations may flip from fp32 op-order differences
+        for epoch, ((rq, rr), (oq, orr)) in enumerate(zip(ref_codes, our_codes)):
+            q_agree = float((rq == oq).mean())
+            r_agree = float((rr == orr).mean())
+            floor = 1.0 if epoch == 0 else 0.995
+            assert q_agree >= floor and r_agree >= floor, (
+                f"epoch {epoch - 1}: code agreement q={q_agree:.4f} "
+                f"r={r_agree:.4f} below {floor}"
+            )
+
+        diff = np.abs(ref_arr - our_arr)
+        # init row: pure encode+metric parity, no training drift yet
+        assert diff[0].max() < 2e-3, (
+            f"init mAP mismatch: ref={ref_rows[0]} ours={our_rows[0]}"
+        )
+        assert diff.max() < 5e-3, (
+            "mAP trajectory drift exceeds ±0.005:\n"
+            f"ref={ref_arr}\nours={our_arr}\ndiff={diff}"
+        )
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)

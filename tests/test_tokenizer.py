@@ -32,6 +32,11 @@ def ref_tok():
         stub = types.ModuleType("ftfy")
         stub.fix_text = lambda s: s
         sys.modules["ftfy"] = stub
+    # other tests (ref_shims.load_reference) may have imported the whole
+    # reference package already; re-exec'ing the file would trip its
+    # registry's duplicate-name guard — reuse the loaded module instead
+    if "models.CLIP.simple_tokenizer" in sys.modules:
+        return sys.modules["models.CLIP.simple_tokenizer"].SimpleTokenizer()
     try:
         # load the module file directly — the reference package __init__
         # pulls in unavailable deps (xlrd)

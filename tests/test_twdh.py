@@ -116,3 +116,39 @@ def test_twdh_train_and_valid_smoke(tmp_path):
     mats = os.listdir(os.path.join(tr.save_dir, "mat_files"))
     assert any("short-8" in m for m in mats)
     assert any("long" in m for m in mats)
+
+
+def test_center_functions_parity_vs_reference_module():
+    """Runs the real reference hash_center_multilables / hash_convert
+    (/root/reference/models/TwDH/TwDH.py:192-230). Labels are chosen with an
+    odd number of positives per row so the reference's random tie-break
+    vector is inert and the comparison is RNG-free."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_shims import load_reference
+
+    load_reference()
+    import torch
+
+    from models.TwDH.TwDH import (
+        hash_center_multilables as ref_centers,
+        hash_convert as ref_convert,
+    )
+
+    rng = np.random.RandomState(4)
+    centers = (rng.randint(0, 2, size=(6, 8)) * 2 - 1).astype(np.float32)
+    labels = np.zeros((5, 6), dtype=np.float32)
+    for i in range(5):
+        pos = rng.choice(6, size=[1, 3][i % 2], replace=False)  # odd count
+        labels[i, pos] = 1
+    want = ref_centers(torch.tensor(labels), torch.tensor(centers)).numpy()
+    got = np.asarray(hash_center_multilabels(
+        jnp.asarray(labels), jnp.asarray(centers), jax.random.PRNGKey(0)
+    ))
+    np.testing.assert_array_equal(got, want)
+
+    want_c = ref_convert(torch.tensor(want)).numpy()
+    got_c = np.asarray(hash_convert(jnp.asarray(want)))
+    np.testing.assert_array_equal(got_c, want_c)
