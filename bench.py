@@ -149,7 +149,7 @@ import jax
 jax.config.update("jax_compilation_cache_dir", sys.argv[1])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
-from cmh_tpu.ops.map_bucketed import calc_map_k_4dir
+from cmh_tpu.ops.map_bucketed import calc_map_k_4dir_auto as calc_map_k_4dir
 rng = np.random.RandomState(1)
 nq, nr, bits, classes = 5000, 110_000, 64, 80
 qi = rng.choice([-1.,1.], size=(nq,bits)).astype(np.float32)

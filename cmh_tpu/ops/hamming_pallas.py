@@ -112,96 +112,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _unpack_rows_kernel_side(words: jax.Array, n_words: int) -> jax.Array:
-    """(R, W) uint32 → (R, 32·W) bf16 ±1 inside a kernel (no gathers)."""
-    cols = []
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
-    for w in range(n_words):
-        bits = (words[:, w : w + 1] >> shifts) & jnp.uint32(1)  # (R, 32)
-        cols.append(bits)
-    bits = jnp.concatenate(cols, axis=1)
-    # Mosaic has no uint32→bf16 cast; hop through int32
-    return bits.astype(jnp.int32).astype(jnp.bfloat16) * 2.0 - 1.0
-
-
-def _hamming_mxu_kernel(q_ref, gt_ref, out_ref, *, words: int, bits: int):
-    """MXU formulation over packed storage: unpack both tiles to bf16 ±1 in
-    VMEM, one dot on the systolic array, distances = (K - q·gᵀ)/2.
-
-    The XOR+popcount VPU kernel above is memory-optimal but compute-bound ~8×
-    below the MXU; reading packed words (16× less HBM than bf16 codes) and
-    spending the FLOPs on the matrix unit is the speed-of-light point for
-    large galleries.
-    """
-    q = _unpack_rows_kernel_side(q_ref[:, :], words)          # (TQ, K)
-    # gallery arrives transposed-packed (W, TN): unpack straight into (K, TN)
-    rows = []
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (32, 1), 0)
-    for w in range(words):
-        bits_w = (gt_ref[w : w + 1, :] >> shifts) & jnp.uint32(1)  # (32, TN)
-        rows.append(bits_w)
-    g = (
-        jnp.concatenate(rows, axis=0).astype(jnp.int32).astype(jnp.bfloat16)
-        * 2.0 - 1.0
-    )
-    dot = jnp.dot(q, g, preferred_element_type=jnp.float32)   # (TQ, TN)
-    # Mosaic lacks direct f32→u8 casts; hop through int32
-    out_ref[:] = ((bits - dot) * 0.5).astype(jnp.int32).astype(out_ref.dtype)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("bits", "tile_q", "tile_n", "interpret", "out_dtype")
-)
-def hamming_packed_mxu(
-    q_packed: jax.Array,
-    g_packed: jax.Array,
-    bits: int = None,
-    tile_q: int = 256,
-    tile_n: int = 1024,
-    interpret: bool = False,
-    out_dtype=None,
-) -> jax.Array:
-    """Hamming distances from packed codes via in-kernel unpack + MXU dot.
-
-    Numerically exact (±1 products accumulate in fp32). ``bits`` defaults to
-    32·W — pass the true code length when it isn't a multiple of 32 so the
-    pad bits (0 in both operands → product +1) are discounted correctly:
-    pad bits contribute (1 - 1·1)/2 = 0 either way, so the default is exact
-    for `pack_bits`-packed inputs too.
-    """
-    q, w = q_packed.shape
-    n, w2 = g_packed.shape
-    assert w == w2, f"word-width mismatch: {w} vs {w2}"
-    k = 32 * w
-    if out_dtype is None:
-        out_dtype = (
-            jnp.uint8 if k <= 255 else
-            jnp.uint16 if k <= 65535 else jnp.int32
-        )
-    tile_q = min(tile_q, _round_up(q, 8))
-    tile_n = min(tile_n, _round_up(n, 128))
-    q_pad = _round_up(q, tile_q)
-    n_pad = _round_up(n, tile_n)
-    qp = jnp.pad(q_packed, ((0, q_pad - q), (0, 0)))
-    gt = jnp.pad(g_packed, ((0, n_pad - n), (0, 0))).T  # (W, n_pad)
-
-    grid = (q_pad // tile_q, n_pad // tile_n)
-    out = pl.pallas_call(
-        functools.partial(_hamming_mxu_kernel, words=w, bits=k),
-        out_shape=jax.ShapeDtypeStruct((q_pad, n_pad), out_dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_q, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_q, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(qp, gt)
-    return out[:q, :n]
-
-
 def hamming_packed_reference(q_packed: jax.Array, g_packed: jax.Array) -> jax.Array:
     """Pure-jnp oracle for the Pallas kernel (XOR + popcount via unpacking)."""
     shifts = jnp.arange(32, dtype=jnp.uint32)
@@ -212,8 +122,18 @@ def hamming_packed_reference(q_packed: jax.Array, g_packed: jax.Array) -> jax.Ar
 
 def hamming_from_codes(
     q_codes: jax.Array, g_codes: jax.Array, interpret: bool = False,
-    use_mxu: bool = True,
 ) -> jax.Array:
-    """±1 codes → packed → Pallas Hamming matrix."""
-    kernel = hamming_packed_mxu if use_mxu else hamming_packed
-    return kernel(pack_bits(q_codes), pack_bits(g_codes), interpret=interpret)
+    """±1 codes → packed → Pallas Hamming matrix.
+
+    A second kernel that unpacked the words in VMEM and fed the MXU
+    (``hamming_packed_mxu``) was built and retired in round 2: its in-kernel
+    unpack lowered to per-word shift/concat chains that left it ~5× slower
+    than this VPU kernel (32ms vs 6ms at 5k×110k×256-bit). The measured
+    crossover: when codes are already resident UNPACKED as bf16 ±1, a plain
+    dense matmul wins outright (~2.1e11 cmp/s, see ops/metrics.
+    calc_hamming_dist); packed kernels only pay off when HBM footprint or
+    bandwidth is the constraint, and there the XOR+popcount formulation is
+    the right one.
+    """
+    return hamming_packed(pack_bits(q_codes), pack_bits(g_codes),
+                          interpret=interpret)

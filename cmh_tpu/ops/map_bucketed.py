@@ -169,6 +169,28 @@ def calc_map_k_bucketed(
     return total_ap / num_query
 
 
+def calc_map_k_4dir_auto(
+    q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels,
+    k: Optional[int] = None,
+):
+    """Route the 4-direction eval to the fastest exact implementation for
+    the current backend: the fused Pallas counting-rank kernel on TPU
+    (map_pallas.py — 3.3s vs 10.2s for the XLA path at coco scale), the
+    XLA bucketed path elsewhere or for long codes."""
+    bits = int(jnp.asarray(q_img).shape[1])
+    if jax.default_backend() == "tpu" and 2 * (bits + 1) <= 255:
+        from .map_pallas import calc_map_k_4dir_pallas
+
+        tq = 128 if bits <= 64 else 64
+        return calc_map_k_4dir_pallas(
+            q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels, k,
+            tq=tq, tn=128,
+        )
+    return calc_map_k_4dir(
+        q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels, k
+    )
+
+
 def calc_map_k_4dir(
     q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels,
     k: Optional[int] = None, chunk: int = 512, block: int = 256,

@@ -1,0 +1,290 @@
+"""Fused Pallas counting-rank mAP over Hamming rankings (TPU).
+
+Same math as ``map_bucketed`` (exact reference-equivalent mAP with stable
+ties — see that module's docstring) but hand-tiled: the XLA version
+materializes (C, L, V) one-hot/prefix tensors in HBM every gallery block,
+which dominates eval wall time (10.2s per 4-direction coco-scale eval even
+with the MXU tri-matmul cumsum). Design:
+
+- Layout: gallery-major. The packed matrix ``d2T`` is (N, Q) uint8 holding
+  ``2·distance + relevance`` — one byte per (gallery, query) pair carries
+  everything the kernel needs, so there is a single input stream and no
+  separate ground-truth matrix in HBM.
+- Each kernel tile is (TN gallery rows × TQ·VP lanes): every query's VP
+  bucket-indicator lanes sit side by side, so all elementwise ops and MXU
+  contractions run at full lane occupancy with zero HBM intermediates.
+- Within-block prefix counts are ONE lower-triangular matmul on the MXU per
+  tile (0/1 bf16 inputs, f32 accumulation → exact counts); counts from
+  earlier gallery blocks ride a (1, TQ·VP) VMEM scratch across the
+  sequential gallery grid axis.
+- Contributions are computed per lane (each query group has exactly one
+  live lane — its own bucket) and column-reduced into an ``ap_lanes``
+  accumulator; the tiny final per-bucket reduction happens on the host.
+  Reducing lanes→items with matmuls inside the kernel was tried first and
+  cost more than the divides it saved.
+- All index-arithmetic constants (column-repeat matrix, bucket row,
+  triangular mask, reducer) are PASSED IN and pinned to block (0, 0):
+  computing them in-kernel re-ran integer div/mod by VP on the VPU every
+  grid step, which dominated the first cut of this kernel (~28µs/step).
+
+Two passes: (1) per-bucket global histograms → strictly-smaller prefix
+counts on the host (tiny (Q, V) arrays), (2) AP accumulation. Exact for
+counts < 2^24. Queries of all four retrieval directions are stacked on the
+Q axis so a launch covers the whole ``trainer.valid`` eval
+(reference hot spot: /root/reference/common/calc_utils.py:58-92).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .metrics import calc_label_sim
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _lane_layout(bits: int, tq: int):
+    """VP (buckets incl. pad-sentinel, padded so TQ·VP is lane-aligned)."""
+    v = bits + 2  # buckets 0..bits plus the pad-row sentinel at bits+1
+    step = max(128 // tq, 1)
+    return _round_up(v, step)
+
+
+def _consts(tq: int, tn: int, vp: int):
+    """Host-built kernel constants (hoisted out of the grid loop)."""
+    lanes = tq * vp
+    q_of_lane = np.arange(lanes) // vp
+    v_of_lane = np.arange(lanes) % vp
+    erep = (q_of_lane[None, :] == np.arange(tq)[:, None])          # (TQ, L)
+    vrow = v_of_lane[None, :].astype(np.float32)                   # (1, L)
+    tril = (np.arange(tn)[None, :] <= np.arange(tn)[:, None])      # (TN, TN)
+    return (
+        jnp.asarray(erep, jnp.bfloat16),
+        jnp.asarray(vrow, jnp.float32),
+        jnp.asarray(tril, jnp.bfloat16),
+    )
+
+
+def _split_packed(d2):
+    """(TN, TQ) uint8 ``2·d + g`` → bf16 distance, bf16 relevance."""
+    x = d2.astype(jnp.int32)
+    d = jax.lax.shift_right_logical(x, 1).astype(jnp.bfloat16)
+    g = jnp.bitwise_and(x, 1).astype(jnp.bfloat16)
+    return d, g
+
+
+def _hist_kernel(d2_ref, erep_ref, vrow_ref, hist_ref, rhist_ref,
+                 *, tq, tn, vp):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+        rhist_ref[...] = jnp.zeros_like(rhist_ref)
+
+    d, g = _split_packed(d2_ref[0])
+    erep = erep_ref[:]
+    drep = jnp.dot(d, erep, preferred_element_type=jnp.float32)
+    grep = jnp.dot(g, erep, preferred_element_type=jnp.float32)
+    a2 = (drep == vrow_ref[:]).astype(jnp.bfloat16)
+    a2r = a2 * grep.astype(jnp.bfloat16)
+    ones = jnp.ones((1, tn), jnp.bfloat16)
+    hist_ref[...] += jnp.dot(
+        ones, a2, preferred_element_type=jnp.float32)[None]
+    rhist_ref[...] += jnp.dot(
+        ones, a2r, preferred_element_type=jnp.float32)[None]
+
+
+def _ap_kernel(d2_ref, less_ref, lessr_ref, total_ref, erep_ref,
+               vrow_ref, tril_ref, ap_ref, eq_ref, eqr_ref, *, tq, tn, vp):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        ap_ref[...] = jnp.zeros_like(ap_ref)
+        eq_ref[:] = jnp.zeros_like(eq_ref)
+        eqr_ref[:] = jnp.zeros_like(eqr_ref)
+
+    d, g = _split_packed(d2_ref[0])
+    erep = erep_ref[:]
+    drep = jnp.dot(d, erep, preferred_element_type=jnp.float32)
+    grep = jnp.dot(g, erep, preferred_element_type=jnp.float32)
+    a2 = (drep == vrow_ref[:]).astype(jnp.bfloat16)       # (TN, TQ·VP)
+    a2r = a2 * grep.astype(jnp.bfloat16)
+
+    # inclusive within-block prefix counts per (query, bucket) lane — 0/1
+    # bf16 products with f32 accumulation: exact for any TN
+    tril = tril_ref[:]
+    cums = jnp.dot(tril, a2, preferred_element_type=jnp.float32)
+    cumsr = jnp.dot(tril, a2r, preferred_element_type=jnp.float32)
+
+    base = less_ref[0] + eq_ref[:]                        # (1, TQ·VP) f32
+    baser = lessr_ref[0] + eqr_ref[:]
+    # per-lane ranks: garbage off the live lane, masked by a2r below
+    n_lane = cums + base
+    r_lane = cumsr + baser
+    mask = a2r.astype(jnp.float32) * (r_lane <= total_ref[0])
+    contrib = mask * r_lane / jnp.maximum(n_lane, 1.0)
+    ap_ref[...] += jnp.sum(contrib, axis=0, keepdims=True)[None]
+
+    eq_ref[:] += cums[tn - 1 : tn, :]
+    eqr_ref[:] += cumsr[tn - 1 : tn, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "tq", "tn", "interpret")
+)
+def _map_counting_pallas(
+    d2T: jax.Array,       # (Npad, Qpad) uint8: 2·distance + relevance;
+                          # pad rows carry 2·(bits+1) (sentinel, irrelevant)
+    k_arr: jax.Array,     # () f32 top-k cap (inf for mAP@all)
+    bits: int,
+    tq: int = 32,
+    tn: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    n_pad, q_pad = d2T.shape
+    assert n_pad % tn == 0 and q_pad % tq == 0
+    vp = _lane_layout(bits, tq)
+    q_tiles = q_pad // tq
+    grid = (q_tiles, n_pad // tn)
+    lanes = tq * vp
+    erep, vrow, tril = _consts(tq, tn, vp)
+
+    # Mosaic wants the last block dim 128-divisible or equal to the array
+    # dim — making the query tile the (full) minor axis satisfies the latter
+    d23 = d2T.reshape(n_pad, q_tiles, tq).transpose(1, 0, 2)
+
+    const_spec_erep = pl.BlockSpec((tq, lanes), lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    const_spec_vrow = pl.BlockSpec((1, lanes), lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    d2_spec = pl.BlockSpec((1, tn, tq), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, lanes), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    hist, rhist = pl.pallas_call(
+        functools.partial(_hist_kernel, tq=tq, tn=tn, vp=vp),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_tiles, 1, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((q_tiles, 1, lanes), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[d2_spec, const_spec_erep, const_spec_vrow],
+        out_specs=(row_spec, row_spec),
+        interpret=interpret,
+    )(d23, erep, vrow)
+
+    # tiny (Q, VP) host-side algebra: strictly-smaller prefix counts
+    hist_q = hist.reshape(q_pad, vp)
+    rhist_q = rhist.reshape(q_pad, vp)
+    less = jnp.cumsum(hist_q, axis=-1) - hist_q
+    less_r = jnp.cumsum(rhist_q, axis=-1) - rhist_q
+    tsum = jnp.sum(rhist_q, axis=-1)
+    total = jnp.minimum(tsum, k_arr)              # (Qpad,)
+    # lane layout for the kernel: each query's cap replicated over its VP
+    total_rep = jnp.broadcast_to(total[:, None], (q_pad, vp))
+
+    ap = pl.pallas_call(
+        functools.partial(_ap_kernel, tq=tq, tn=tn, vp=vp),
+        out_shape=jax.ShapeDtypeStruct((q_tiles, 1, lanes), jnp.float32),
+        grid=grid,
+        in_specs=[
+            d2_spec,
+            row_spec,
+            row_spec,
+            row_spec,
+            const_spec_erep,
+            const_spec_vrow,
+            pl.BlockSpec((tn, tn), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=row_spec,
+        scratch_shapes=[
+            pltpu.VMEM((1, lanes), jnp.float32),
+            pltpu.VMEM((1, lanes), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        d23,
+        less.reshape(q_tiles, 1, lanes),
+        less_r.reshape(q_tiles, 1, lanes),
+        total_rep.reshape(q_tiles, 1, lanes),
+        erep, vrow, tril,
+    )
+
+    ap_q = ap.reshape(q_pad, vp).sum(axis=-1)
+    return jnp.where(total > 0, ap_q / jnp.maximum(total, 1.0), 0.0)
+
+
+def _packed_T(q_codes, r_codes, gnd, bits: int) -> jax.Array:
+    """(N, C) gallery-major ``2·hamming + relevance`` via one bf16 MXU
+    matmul (±1 products, f32 accumulation → exact)."""
+    s = jnp.dot(r_codes.astype(jnp.bfloat16), q_codes.astype(jnp.bfloat16).T,
+                preferred_element_type=jnp.float32)
+    d = 0.5 * (bits - s)
+    return (2.0 * d + gnd.T).astype(jnp.uint8)
+
+
+def calc_map_k_4dir_pallas(
+    q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels,
+    k: Optional[int] = None, chunk: int = 1024, tq: int = 32, tn: int = 256,
+    interpret: bool = False,
+):
+    """All four retrieval directions in stacked-query Pallas launches.
+
+    Exact same results as ``map_bucketed.calc_map_k_4dir`` (tested against
+    it and the torch oracle); returns (i2t, t2i, i2i, t2t) floats.
+    """
+    q_img = jnp.asarray(q_img, jnp.float32)
+    q_txt = jnp.asarray(q_txt, jnp.float32)
+    r_img = jnp.asarray(r_img, jnp.float32)
+    r_txt = jnp.asarray(r_txt, jnp.float32)
+    ql = jnp.asarray(query_labels, jnp.float32)
+    rl = jnp.asarray(retrieval_labels, jnp.float32)
+    bits = int(q_img.shape[1])
+    assert 2 * (bits + 1) <= 255, "packed uint8 storage needs bits <= 126"
+
+    num_query = q_img.shape[0]
+    n = r_img.shape[0]
+    n_pad = _round_up(n, tn)
+    pad_rows = n_pad - n
+    sentinel = np.uint8(2 * (bits + 1))
+
+    k_arr = jnp.float32(np.inf if k is None else float(k))
+    r_stack = (r_txt, r_img, r_img, r_txt)
+
+    totals = np.zeros(4, dtype=np.float64)
+    chunk = min(chunk, num_query)
+    for start in range(0, num_query, chunk):
+        stop = min(start + chunk, num_query)
+        size = stop - start
+        c_pad = _round_up(4 * chunk, tq)
+
+        qs = (q_img[start:stop], q_txt[start:stop],
+              q_img[start:stop], q_txt[start:stop])
+        gnd = calc_label_sim(ql[start:stop], rl)            # (size, N)
+        d2_parts = [
+            _packed_T(qc, rc, gnd, bits) for qc, rc in zip(qs, r_stack)
+        ]
+        d2T = jnp.concatenate(d2_parts, axis=1)             # (N, 4*size)
+        q_cols = 4 * size
+        d2T = jnp.pad(d2T, ((0, pad_rows), (0, c_pad - q_cols)),
+                      constant_values=sentinel)
+
+        ap = _map_counting_pallas(d2T, k_arr, bits, tq=tq, tn=tn,
+                                  interpret=interpret)
+        ap4 = np.asarray(ap[:q_cols]).reshape(4, size)
+        totals += ap4.sum(axis=1)
+    maps = totals / num_query
+    return tuple(float(m) for m in maps)

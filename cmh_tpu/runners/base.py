@@ -540,7 +540,7 @@ class BaseTrainer:
                       k: Optional[int]):
         """Four-direction mAP; fused counting-rank kernel when applicable."""
         if query_img.shape[1] <= 256:
-            from ..ops.map_bucketed import calc_map_k_4dir
+            from ..ops.map_bucketed import calc_map_k_4dir_auto as calc_map_k_4dir
 
             return calc_map_k_4dir(
                 query_img, query_txt, retrieval_img, retrieval_txt,

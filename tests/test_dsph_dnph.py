@@ -279,3 +279,41 @@ def test_dnph_noise_assignment_matches_reference_gene_noise():
                      jnp.asarray(noises, jnp.float32), method="hungarian")
     )
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 32, 128])
+def test_auction_matches_scipy_optimal_cost(n):
+    """On-device auction assignment reaches the scipy optimum (VERDICT #5:
+    exact assignment on backends without host callbacks)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from cmh_tpu.ops.hungarian import auction_assignment
+
+    rng = np.random.RandomState(n)
+    cost = rng.rand(n, n).astype(np.float32) * 10.0
+    col = np.asarray(auction_assignment(jnp.asarray(cost)))
+    # valid permutation
+    assert sorted(col.tolist()) == list(range(n))
+    _, scipy_col = linear_sum_assignment(cost.astype(np.float64))
+    got = cost[np.arange(n), col].sum()
+    want = cost[np.arange(n), scipy_col].sum()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_auction_on_structured_dnph_costs():
+    """DNPH-shaped cost matrices (L2 between tanh codes and ±1 noise)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from cmh_tpu.ops.hungarian import assign_noise
+
+    rng = np.random.RandomState(5)
+    b, k = 64, 16
+    codes = np.tanh(rng.randn(b, k)).astype(np.float32)
+    noises = (rng.randint(0, 2, (b, k)) * 2 - 1).astype(np.float32)
+    got = np.asarray(assign_noise(jnp.asarray(codes), jnp.asarray(noises),
+                                  method="auction"))
+    cost = np.linalg.norm(codes[:, None] - noises[None, :], axis=-1)
+    _, col = linear_sum_assignment(cost.astype(np.float64))
+    want_total = cost[np.arange(b), col].sum()
+    got_total = np.linalg.norm(codes - got, axis=-1).sum()
+    np.testing.assert_allclose(got_total, want_total, rtol=1e-6)

@@ -4,7 +4,7 @@ torch/numpy oracles."""
 import numpy as np
 import pytest
 
-from cmh_tpu.ops.map_bucketed import calc_map_k_bucketed
+from cmh_tpu.ops.map_bucketed import calc_map_k_4dir, calc_map_k_bucketed
 from cmh_tpu.ops.metrics import calc_map_k_numpy
 
 
@@ -71,3 +71,27 @@ def test_bucketed_fp32_large_block():
     want = calc_map_k_numpy(qb, rb, ql, rl)
     got = calc_map_k_bucketed(qb, rb, ql, rl, chunk=9, block=512)
     assert abs(got - want) < 1e-5
+
+
+def test_pallas_4dir_matches_bucketed_jnp():
+    """Fused Pallas counting-rank kernel (interpret mode) == XLA bucketed
+    path == the torch-oracle-verified semantics, incl. pad/tie edge cases."""
+    from cmh_tpu.ops.map_pallas import calc_map_k_4dir_pallas
+
+    rng = np.random.RandomState(11)
+    nq, nr, bits, classes = 37, 203, 16, 5   # deliberately non-multiples
+    qi = rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+    qt = rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+    ri = rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+    rt = rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+    ql = (rng.rand(nq, classes) > 0.6).astype(np.float32)
+    ql[:, 0] = 1
+    rl = (rng.rand(nr, classes) > 0.6).astype(np.float32)
+    rl[: nr // 3, 0] = 1
+
+    for k in (None, 50):
+        want = calc_map_k_4dir(qi, qt, ri, rt, ql, rl, k, chunk=32, block=64)
+        got = calc_map_k_4dir_pallas(
+            qi, qt, ri, rt, ql, rl, k, chunk=16, tq=8, tn=64, interpret=True
+        )
+        np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
