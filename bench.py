@@ -158,7 +158,7 @@ ri = rng.choice([-1.,1.], size=(nr,bits)).astype(np.float32)
 rt = rng.choice([-1.,1.], size=(nr,bits)).astype(np.float32)
 ql = (rng.rand(nq,classes)>0.9).astype(np.float32); ql[:,0]=1
 rl = (rng.rand(nr,classes)>0.9).astype(np.float32); rl[:nr//10,0]=1
-calc_map_k_4dir(qi[:512], qt[:512], ri, rt, ql[:512], rl)  # compile
+calc_map_k_4dir(qi[:1024], qt[:1024], ri, rt, ql[:1024], rl)  # compile (chunk-shaped)
 t0 = time.perf_counter()
 calc_map_k_4dir(qi, qt, ri, rt, ql, rl)  # the trainer's full valid() eval
 print(json.dumps({"map_time": time.perf_counter() - t0}))

@@ -1,0 +1,204 @@
+"""Epoch-level A/B: the torch reference trainer vs cmh_tpu, same data.
+
+Quantifies the BASELINE.md ">=5x end-to-end epoch speedup" target with a
+like-for-like run: both frameworks train DCMHT on the same on-disk
+synthetic dataset, same seed/split, deterministic transforms, and the wall
+time of train_epoch + valid (4-direction mAP) is measured per framework.
+
+The reference is torch CPU (no CUDA in this image); ours runs on whatever
+backend JAX selects (the TPU via the axon tunnel, or CPU with
+CMH_TPU_PLATFORM=cpu). Run:
+
+    python -m cmh_tpu.tools.epoch_ab [--scale tiny|full] [--epochs 2]
+
+Prints one JSON line with per-framework epoch seconds and the ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_dataset(root: str, n_items: int, n_classes: int, res: int) -> str:
+    import scipy.io as scio
+
+    ds = os.path.join(root, "abdata")
+    os.makedirs(ds, exist_ok=True)
+    rng = np.random.RandomState(7)
+    labels = np.zeros((n_items, n_classes), dtype=np.float64)
+    for i in range(n_items):
+        pos = rng.choice(n_classes, size=rng.randint(1, 3), replace=False)
+        labels[i, pos] = 1.0
+    imgs = rng.randint(40, 90, size=(n_items, res, res, 3)).astype(np.float64)
+    h = res // 2
+    quads = [(slice(0, h), slice(0, h)), (slice(0, h), slice(h, None)),
+             (slice(h, None), slice(0, h)), (slice(h, None), slice(h, None))]
+    for c, (sy, sx) in enumerate(quads):
+        imgs[labels[:, c % n_classes] > 0, sy, sx, c % 3] += 120.0
+    np.save(os.path.join(ds, "images.npy"),
+            np.clip(imgs, 0, 255).astype(np.uint8))
+    caps = [f"a synthetic photo of class {int(np.argmax(labels[i]))}"
+            for i in range(n_items)]
+    scio.savemat(os.path.join(ds, "caption.mat"),
+                 {"caption": np.asarray(caps).reshape(-1, 1)})
+    scio.savemat(os.path.join(ds, "label.mat"), {"category": labels})
+    return root
+
+
+def cfg_dict(data_dir, clip_path, save_dir, *, res, train_num, query_num,
+             batch, epochs, clip_variant=None):
+    os.makedirs(save_dir, exist_ok=True)
+    model = {"arch": "DCMHT", "clip_path": clip_path, "hash_func": "softmax"}
+    if clip_variant:
+        model["clip_variant"] = clip_variant
+    return {
+        "model": model,
+        "optimizer": {"arch": "BertAdam", "lr": 0.001, "backbone_lr": 1e-5,
+                      "clip_lr": 1e-5},
+        "dataset": {"arch": "transformer_dataset", "name": "abdata",
+                    "path": data_dir, "img_file": "images.npy",
+                    "txt_file": "caption.mat", "label_file": "label.mat",
+                    "image_resolution": res, "max_word": 16},
+        "run": {"arch": "DCMHTTrainer", "save_dir": save_dir,
+                "log_dir": save_dir, "output_dim": 16, "batch_size": batch,
+                "eval_batch_size": 100, "is_train": True,
+                "train_num": train_num, "query_num": query_num,
+                "epochs": epochs, "seed": 1814, "shuffle": False,
+                "num_workers": 0, "pin_memory": False, "device": "cpu",
+                "display_step": 10_000, "top_k": None},
+    }
+
+
+def time_reference(cfg, epochs):
+    from .ref_compat import load_reference
+
+    ref_registry = load_reference()
+    from cmh_tpu.config import config_from_dict
+
+    RefTrainer = ref_registry.get_runner_class("DCMHTTrainer")
+
+    class RefDeferredRun(RefTrainer):
+        def run(self):
+            pass
+
+    rt = RefDeferredRun.from_config(cfg=config_from_dict(cfg), world_size=1,
+                                    distributed=False)
+    rt.train_loader.dataset.transform = rt.query_loader.dataset.transform
+    times = []
+    for e in range(epochs):
+        t0 = time.perf_counter()
+        rt.train_epoch(e)
+        rt.valid(e, k=None)
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def time_ours(cfg, epochs):
+    from cmh_tpu.config import config_from_dict
+    from cmh_tpu.registry import registry
+
+    trainer = registry.get_runner_class("DCMHTTrainer").from_config(
+        cfg=config_from_dict(cfg), auto_run=False
+    )
+    trainer.train_loader.dataset.is_train = False
+    # warm epoch: compiles train_step/encode/mAP programs (one-time cost,
+    # persisted via the jax compilation cache)
+    trainer.train_epoch(0)
+    trainer.valid(0, k=None)
+    times = []
+    for e in range(epochs):
+        t0 = time.perf_counter()
+        trainer.train_epoch(e + 1)
+        trainer.valid(e + 1, k=None)
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def main():
+    # honor CMH_TPU_PLATFORM before any backend use — the axon sitecustomize
+    # pins JAX_PLATFORMS in every process (see main.py)
+    platform = os.environ.get("CMH_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=["tiny", "full"], default="tiny",
+                    help="tiny: 32px/2-layer CLIP (CPU-friendly); full: "
+                         "224px ViT-B/32 (reference epoch takes minutes)")
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--skip-reference", action="store_true")
+    args = ap.parse_args()
+
+    root = tempfile.mkdtemp(prefix="epoch_ab_")
+    if args.scale == "tiny":
+        res, n_items, train_num, query_num, batch = 32, 600, 200, 100, 25
+    else:
+        # full ViT-B/32: keep counts small — one reference epoch on the
+        # torch-CPU side is minutes even at this size
+        res, n_items, train_num, query_num, batch = 224, 200, 50, 50, 25
+    make_dataset(root, n_items, 4, res)
+
+    # shared tiny torch CLIP checkpoint (both sides load it)
+    from .ref_compat import load_reference
+
+    load_reference()
+    import torch
+
+    from models.CLIP.model import CLIP as RefCLIP
+
+    torch.manual_seed(0)
+    if args.scale == "tiny":
+        tm = RefCLIP(embed_dim=32, image_resolution=res, vision_layers=2,
+                     vision_width=64, vision_patch_size=8, context_length=16,
+                     vocab_size=49408, transformer_width=64,
+                     transformer_heads=1, transformer_layers=2)
+    else:
+        tm = RefCLIP(embed_dim=512, image_resolution=224, vision_layers=12,
+                     vision_width=768, vision_patch_size=32,
+                     context_length=77, vocab_size=49408,
+                     transformer_width=512, transformer_heads=8,
+                     transformer_layers=12)
+    clip_path = os.path.join(root, "clip.pt")
+    torch.save(tm.float().state_dict(), clip_path)
+    del tm
+
+    common = dict(res=res, train_num=train_num, query_num=query_num,
+                  batch=batch, epochs=args.epochs)
+    ref_times = None
+    if not args.skip_reference:
+        ref_times = time_reference(
+            cfg_dict(root, clip_path, os.path.join(root, "ref"), **common),
+            args.epochs,
+        )
+    our_times = time_ours(
+        cfg_dict(root, clip_path, os.path.join(root, "ours"), **common),
+        args.epochs,
+    )
+
+    import jax
+
+    out = {
+        "scale": args.scale,
+        "train_num": train_num,
+        "query_num": query_num,
+        "backend_ours": jax.default_backend(),
+        "ref_epoch_s": ref_times and round(float(np.median(ref_times)), 3),
+        "ours_epoch_s": round(float(np.median(our_times)), 3),
+        "speedup": ref_times and round(
+            float(np.median(ref_times)) / float(np.median(our_times)), 2
+        ),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
