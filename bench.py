@@ -175,7 +175,7 @@ from cmh_tpu.config import config_from_dict
 from cmh_tpu.registry import registry
 import cmh_tpu
 tmp = tempfile.mkdtemp()
-batch = 100
+batch = 256  # ~2.5e3 pairs/s vs ~2.1e3 at batch 100 (MXU utilization)
 cfg = config_from_dict({
   "model": {"arch": "DCMHT", "clip_path": "/nonexistent.pt", "hash_func": "softmax"},
   "optimizer": {"arch": "BertAdam", "lr": 0.001, "clip_lr": 0.00001},
