@@ -94,6 +94,12 @@ class DIMCHModel(BaseHashModel):
     txt_token_size: int = 32
     dropout: float = 0.3
     hash_func: str = "tanh"
+    # the reference NEVER passes key_padding_mask through DIMCH — its train
+    # loop and eval both call model(image, text) (runners/DIMCH/runner.py:
+    # 132,148), so padding-position tokens enter the text token set. Default
+    # matches the reference for parity; set model.mask_padding: true in the
+    # config for the (arguably more sensible) masked variant.
+    mask_padding: bool = False
 
     def setup(self):
         self.backbone = CLIP(self.clip_cfg)
@@ -119,7 +125,8 @@ class DIMCHModel(BaseHashModel):
 
     def encode_text(self, text, key_padding_mask=None, train: bool = True,
                     with_embeds: bool = False):
-        _, tokens, _, _ = self.backbone.encode_text(text, key_padding_mask)
+        kpm = key_padding_mask if self.mask_padding else None
+        _, tokens, _, _ = self.backbone.encode_text(text, kpm)
         embeds, hashed = self.txt_token_hash(tokens, train=train)
         return (embeds, hashed) if with_embeds else hashed
 
@@ -239,6 +246,7 @@ class DIMCHMethod(Method):
             txt_token_size=g("txt_token_size", 32),
             dropout=g("dropout", 0.3),
             hash_func=hash_func,
+            mask_padding=g("mask_padding", False),
         )
         loss = dimch_loss_fn(
             set_dim=set_dim, hash_func=hash_func,

@@ -77,6 +77,118 @@ def _modality_hash(sd: Dict[str, Any], prefix: str, layernorm: bool):
     return params, stats
 
 
+def dsph_from_torch_state(
+    state_dict: Dict[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference DSPH state_dict → (params, model_state).
+
+    Layout: backbone + two LinearHash heads (models/DSPH/hash/hash.py:6-26,
+    dropout carries no params) + the HyP class proxies
+    (models/DSPH/loss/HyP.py:15)."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    backbone_sd = {
+        k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+    params = {
+        "backbone": params_from_state_dict(backbone_sd, infer_config(backbone_sd)),
+        "hash_img": {"fc": _linear(sd, "hash.img_hash.fc")},
+        "hash_txt": {"fc": _linear(sd, "hash.txt_hash.fc")},
+        "proxies": sd["hyp.proxies"],
+    }
+    return params, {}
+
+
+def dnph_from_torch_state(
+    state_dict: Dict[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference DNPH state_dict → (params, model_state).
+
+    Layout: backbone + LinearHash + Pre_Layer per modality
+    (models/DNPH/hash/hash.py:9-45) + the proxy-loss proxies
+    (models/DNPH/loss/loss.py:8)."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    backbone_sd = {
+        k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+    params = {
+        "backbone": params_from_state_dict(backbone_sd, infer_config(backbone_sd)),
+        "hash_img": {"fc": _linear(sd, "hash.image_hash.fc")},
+        "hash_txt": {"fc": _linear(sd, "hash.text_hash.fc")},
+        "pre_img": _linear(sd, "hash.image_pre.fc"),
+        "pre_txt": _linear(sd, "hash.text_pre.fc"),
+        "proxies": sd["loss.proxies"],
+    }
+    return params, {}
+
+
+def _clip_block(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """Reference CLIP ResidualAttentionBlock → our block subtree (same
+    layout the backbone loader uses, models/clip/loader.py:_block)."""
+    return {
+        "attn": _attention(sd, prefix + ".attn"),
+        "ln_1": {"ln": _layernorm(sd, prefix + ".ln_1")},
+        "ln_2": {"ln": _layernorm(sd, prefix + ".ln_2")},
+        "c_fc": _linear(sd, prefix + ".mlp.c_fc"),
+        "c_proj": _linear(sd, prefix + ".mlp.c_proj"),
+    }
+
+
+def _mith_lct(sd: Dict[str, Any], prefix: str, k_bits: int,
+              layers: int) -> Dict[str, Any]:
+    """Reference LocalConceptTransforming → our lct subtree: 2-layer CLIP
+    transformer + BitwiseHashing (k separate Linear(d,1) rows stacked into
+    one (k_bits, d) kernel) — models/MITH/hash/hash.py:68-191."""
+    hashing_kernel = np.stack(
+        [_np(sd[f"{prefix}.hashing.fc_list.{k}.weight"])[0] for k in range(k_bits)]
+    )
+    hashing_bias = np.stack(
+        [_np(sd[f"{prefix}.hashing.fc_list.{k}.bias"])[0] for k in range(k_bits)]
+    )
+    return {
+        "transformer": {
+            f"resblocks_{j}": _clip_block(sd, f"{prefix}.transformer.resblocks.{j}")
+            for j in range(layers)
+        },
+        "hashing": {"kernel": hashing_kernel, "bias": hashing_bias},
+    }
+
+
+def mith_from_torch_state(
+    state_dict: Dict[str, Any], k_bits: int, transformer_layers: int = 2,
+    res_mlp_layers: int = 2,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference MITH state_dict → (params, model_state).
+
+    The reference shares one GlobalConceptLearning between modalities
+    (``gcl_i = gcl_t``, models/MITH/hash/hash.py:218) — both state_dict
+    aliases hold identical tensors; we read ``gcl_i``. The sin-cos
+    positional encoding is a deterministic buffer (recomputed on our side).
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    backbone_sd = {
+        k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+    gcl_mlp = {}
+    for i in range(res_mlp_layers):
+        gcl_mlp[f"fc1_{i}"] = _linear(sd, f"hash.gcl_i.mlp.mlps.{i}.0")
+        gcl_mlp[f"fc2_{i}"] = _linear(sd, f"hash.gcl_i.mlp.mlps.{i}.3")
+        gcl_mlp[f"ln_{i}"] = _layernorm(sd, f"hash.gcl_i.mlp.lns.{i}")
+    params = {
+        "backbone": params_from_state_dict(backbone_sd, infer_config(backbone_sd)),
+        "gcl": {
+            "mlp": gcl_mlp,
+            "concept": {
+                "kernel": _np(sd["hash.gcl_i.common_concept_embedding.weight"]).T
+            },
+        },
+        "lct_i": _mith_lct(sd, "hash.lct_i", k_bits, transformer_layers),
+        "lct_t": _mith_lct(sd, "hash.lct_t", k_bits, transformer_layers),
+        "img_concept_proj": _linear(sd, "hash.img_concept_proj"),
+        "txt_concept_proj": _linear(sd, "hash.txt_concept_proj"),
+    }
+    return params, {}
+
+
 def dcmht_from_torch_state(
     state_dict: Dict[str, Any],
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
@@ -100,3 +212,82 @@ def dcmht_from_torch_state(
     }
     model_state = {"batch_stats": {"hash_img": img_stats}}
     return params, model_state
+
+
+def _dimch_token_hash(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """Reference TokenHash (models/DIMCH/hash/hash.py:18-52): Conv1d token
+    mixer + 2-layer MLP. torch Conv1d weight (out, in, k) → flax Conv kernel
+    (k, in, out)."""
+    return {
+        "token_layer": {
+            "kernel": _np(sd[prefix + ".token_layer.weight"]).transpose(2, 1, 0),
+            "bias": _np(sd[prefix + ".token_layer.bias"]),
+        },
+        "fc1": _linear(sd, prefix + ".hash_layer.0"),
+        "fc2": _linear(sd, prefix + ".hash_layer.3"),
+    }
+
+
+def dimch_from_torch_state(
+    state_dict: Dict[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference DIMCH state_dict → (params, model_state)."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    backbone_sd = {
+        k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+    params = {
+        "backbone": params_from_state_dict(backbone_sd, infer_config(backbone_sd)),
+        "hash_img": _dimch_token_hash(sd, "hash.img_token_hash"),
+        "hash_txt": _dimch_token_hash(sd, "hash.txt_token_hash"),
+    }
+    return params, {}
+
+
+def _torch_decoder_layer(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """torch nn.TransformerDecoderLayer → our decoder layer subtree."""
+    return {
+        "self_attn": _attention(sd, prefix + ".self_attn"),
+        "cross_attn": _attention(sd, prefix + ".multihead_attn"),
+        "linear1": _linear(sd, prefix + ".linear1"),
+        "linear2": _linear(sd, prefix + ".linear2"),
+        "norm1": {"ln": _layernorm(sd, prefix + ".norm1")},
+        "norm2": {"ln": _layernorm(sd, prefix + ".norm2")},
+        "norm3": {"ln": _layernorm(sd, prefix + ".norm3")},
+    }
+
+
+def umoed_from_torch_state(
+    state_dict: Dict[str, Any], decoder_layers: int = 6,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference UMoED (fusion, non-MoE decoder) state_dict →
+    (params, model_state). The fused TokenHash is learned query slots →
+    torch TransformerDecoder → classifier (models/UMoED/hash/hash_moe.py:
+    22-60,102-111)."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    backbone_sd = {
+        k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+    pre = "hash.hash_module"
+    head: Dict[str, Any] = {
+        "slots": sd[f"{pre}.decoder_learned_parameters"],
+        "classifier": _linear(sd, f"{pre}.classifier"),
+    }
+    if f"{pre}.first_layer.weight" in sd:
+        head["first_layer"] = _linear(sd, f"{pre}.first_layer")
+    for i in range(decoder_layers):
+        head[f"layer_{i}"] = _torch_decoder_layer(
+            sd, f"{pre}.decoder.layers.{i}"
+        )
+    params = {
+        "backbone": params_from_state_dict(backbone_sd, infer_config(backbone_sd)),
+        "hash_module": head,
+    }
+    return params, {}
+
+
+# TwDH reuses DCMHT's HashLayer verbatim at long_dim
+# (/root/reference/models/TwDH/TwDH.py:31); its centers/transform matrices
+# are plain (unregistered) tensors that both frameworks load from the same
+# pkl assets, so the DCMHT converter covers the whole TwDH state_dict.
+twdh_from_torch_state = dcmht_from_torch_state

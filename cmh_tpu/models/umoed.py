@@ -219,6 +219,11 @@ class UMoEDModel(BaseHashModel):
     fusion: bool = True
     hash_func: str = "linear_subspace"
     merge_func: str = "concatenate"
+    # the reference UMoED never passes key_padding_mask to the backbone
+    # (UMoED.py:102) — padding-position text tokens enter the decoder
+    # memory. Default matches the reference; model.mask_padding: true
+    # enables the masked variant.
+    mask_padding: bool = False
 
     def setup(self):
         self.backbone = CLIP(self.clip_cfg)
@@ -257,7 +262,8 @@ class UMoEDModel(BaseHashModel):
 
     def encode_text(self, text, key_padding_mask=None, train: bool = True,
                     with_embeds: bool = False):
-        _, tokens, _, _ = self.backbone.encode_text(text, key_padding_mask)
+        kpm = key_padding_mask if self.mask_padding else None
+        _, tokens, _, _ = self.backbone.encode_text(text, kpm)
         embeds, hashed = self._txt_head()(tokens, train=train)
         return (embeds, hashed) if with_embeds else hashed
 
@@ -267,7 +273,8 @@ class UMoEDModel(BaseHashModel):
         (reference encoder_fusion, UMoED.py:112-123)."""
         assert self.fusion, "fusion encoding needs fusion=True"
         img_tokens = self._image_tokens(image)
-        _, txt_tokens, _, _ = self.backbone.encode_text(text, key_padding_mask)
+        kpm = key_padding_mask if self.mask_padding else None
+        _, txt_tokens, _, _ = self.backbone.encode_text(text, kpm)
         fused = jnp.concatenate([img_tokens, txt_tokens], axis=1)
         return self.hash_module(fused, train=train)
 
@@ -415,6 +422,7 @@ class UMoEDMethod(Method):
             output_dim=output_dim,
             set_dim=g("setDim", 64),
             txt_token_size=g("txt_token_size", 32),
+            mask_padding=g("mask_padding", False),
             dropout=g("dropout", 0.3),
             decoder_heads=g("decoder_heads", 8),
             decoder_layers=g("decoder_layers", 6),

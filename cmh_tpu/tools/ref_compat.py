@@ -43,10 +43,42 @@ def install_stubs() -> None:
         sys.modules["ftfy"] = ftfy
 
     if "xlrd" not in sys.modules:
+        # emulate the three xlrd calls DSPH makes
+        # (models/DSPH/DSPH.py:33-34: open_workbook(...).sheet_by_index(0)
+        # .row(bits)[col].value) — backed by our extracted copy of the
+        # workbook (cmh_tpu/models/dsph_codetable.json, values verified
+        # cell-for-cell against the xlsx by the round-1 review)
         xlrd = types.ModuleType("xlrd")
 
-        def open_workbook(*a, **k):
-            raise RuntimeError("xlrd stub: DSPH code table not available")
+        class _Cell:
+            def __init__(self, value):
+                self.value = value
+
+        class _Sheet:
+            def __init__(self, table):
+                self._table = table  # {row index as str: [cell values]}
+
+            def row(self, i):
+                return [_Cell(v) for v in self._table.get(str(i), [])]
+
+        class _Book:
+            def __init__(self, table):
+                self._sheet = _Sheet(table)
+
+            def sheet_by_index(self, i):
+                assert i == 0
+                return self._sheet
+
+        def open_workbook(path, *a, **k):
+            import json
+            import os
+
+            table_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "..", "models",
+                "dsph_codetable.json",
+            )
+            with open(table_path) as f:
+                return _Book(json.load(f))
 
         xlrd.open_workbook = open_workbook
         sys.modules["xlrd"] = xlrd
