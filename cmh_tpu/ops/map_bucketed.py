@@ -178,7 +178,8 @@ def calc_map_k_4dir_auto(
     (map_pallas.py — 3.3s vs 10.2s for the XLA path at coco scale), the
     XLA bucketed path elsewhere or for long codes."""
     bits = int(jnp.asarray(q_img).shape[1])
-    if jax.default_backend() == "tpu" and 2 * (bits + 1) <= 255:
+    # the axon relay registers its platform as "axon", not "tpu"
+    if jax.default_backend() in ("tpu", "axon") and 2 * (bits + 1) <= 255:
         from .map_pallas import calc_map_k_4dir_pallas
 
         tq = 128 if bits <= 64 else 64

@@ -266,25 +266,37 @@ def calc_map_k_4dir_pallas(
 
     totals = np.zeros(4, dtype=np.float64)
     chunk = min(chunk, num_query)
+    c_pad = _round_up(4 * chunk, tq)
     for start in range(0, num_query, chunk):
         stop = min(start + chunk, num_query)
         size = stop - start
-        c_pad = _round_up(4 * chunk, tq)
+        # pad the tail chunk to the full chunk size so EVERY chunk runs the
+        # same compiled programs (a 904-query tail otherwise costs its own
+        # XLA compiles of the packing/label matmuls on first eval); padded
+        # queries carry zero labels → total 0 → ap 0
+        def grab(a):
+            x = a[start:stop]
+            if size < chunk:
+                x = jnp.pad(x, ((0, chunk - size), (0, 0)),
+                            constant_values=1.0)
+            return x
 
-        qs = (q_img[start:stop], q_txt[start:stop],
-              q_img[start:stop], q_txt[start:stop])
-        gnd = calc_label_sim(ql[start:stop], rl)            # (size, N)
+        qs = (grab(q_img), grab(q_txt), grab(q_img), grab(q_txt))
+        lc = ql[start:stop]
+        if size < chunk:
+            lc = jnp.pad(lc, ((0, chunk - size), (0, 0)))
+        gnd = calc_label_sim(lc, rl)                        # (chunk, N)
         d2_parts = [
             _packed_T(qc, rc, gnd, bits) for qc, rc in zip(qs, r_stack)
         ]
-        d2T = jnp.concatenate(d2_parts, axis=1)             # (N, 4*size)
-        q_cols = 4 * size
+        d2T = jnp.concatenate(d2_parts, axis=1)             # (N, 4*chunk)
+        q_cols = 4 * chunk
         d2T = jnp.pad(d2T, ((0, pad_rows), (0, c_pad - q_cols)),
                       constant_values=sentinel)
 
         ap = _map_counting_pallas(d2T, k_arr, bits, tq=tq, tn=tn,
                                   interpret=interpret)
-        ap4 = np.asarray(ap[:q_cols]).reshape(4, size)
-        totals += ap4.sum(axis=1)
+        ap4 = np.asarray(ap[:q_cols]).reshape(4, chunk)
+        totals += ap4[:, :size].sum(axis=1)
     maps = totals / num_query
     return tuple(float(m) for m in maps)
