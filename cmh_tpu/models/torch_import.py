@@ -244,6 +244,28 @@ def dimch_from_torch_state(
     return params, {}
 
 
+def baseline_from_torch_state(
+    state_dict: Dict[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference Baseline state_dict → (params, model_state): two 2-layer
+    MLP tanh heads (models/baseline/model.py:27-47)."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    backbone_sd = {
+        k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+
+    def mlp(prefix):
+        return {"fc1": _linear(sd, prefix + ".0"),
+                "fc2": _linear(sd, prefix + ".3")}
+
+    params = {
+        "backbone": params_from_state_dict(backbone_sd, infer_config(backbone_sd)),
+        "hash_img": mlp("hash.img_hash"),
+        "hash_txt": mlp("hash.txt_hash"),
+    }
+    return params, {}
+
+
 def _torch_decoder_layer(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
     """torch nn.TransformerDecoderLayer → our decoder layer subtree."""
     return {

@@ -341,3 +341,49 @@ def test_umoed_eval_parity_vs_reference_model(tiny_clip_pt):
     # linear-subspace codes are ±1 selections — exact equality expected
     np.testing.assert_array_equal(j_img, t_i)
     np.testing.assert_array_equal(j_txt, t_t)
+
+
+def test_baseline_eval_parity_vs_reference_model(tiny_clip_pt):
+    """Baseline closes the 8/8 composed-coverage set. The shipped reference
+    Baseline has two live bugs: (1) it unpacks load_backbone's
+    (embed_dim, model) as (state_dict, model) and indexes the int —
+    un-constructible as shipped (model.py:87-88); (2) encode_txt routes the
+    text embedding through the IMAGE head (model.py:60). We construct it
+    with the author's evident intent for (1), compare the image path
+    verbatim, and check our (intentionally fixed) text path against the
+    reference's own txt_hash weights."""
+    ref_registry = load_reference()
+    from cmh_tpu.config import config_from_dict
+    from cmh_tpu.models.torch_import import baseline_from_torch_state
+    from cmh_tpu.registry import registry
+
+    cfg = config_from_dict({"model": {}})
+    RefBaseline = ref_registry.get_model_class("Baseline")
+
+    class ConstructibleBaseline(RefBaseline):
+        def load_backbone(self, clipPath, return_patches=False):
+            sd = torch.load(clipPath, map_location="cpu")
+            _, model = super().load_backbone(clipPath, return_patches)
+            return sd, model
+
+    torch.manual_seed(18)
+    ref = ConstructibleBaseline(cfg, outputDim=8,
+                                clipPath=tiny_clip_pt).float().eval()
+
+    mcfg = config_from_dict(
+        {"model": {"clip_path": tiny_clip_pt, "clip_dtype": "float32"}}
+    ).model
+    method = registry.get_model_class("Baseline").from_config(
+        mcfg, output_dim=8, train_num=8
+    )
+    params, mstate = baseline_from_torch_state(ref.state_dict())
+
+    img, text, kpm = _inputs(seed=23)
+    with torch.no_grad():
+        t_img = ref.encode_image(torch.from_numpy(img).permute(0, 3, 1, 2))
+        # the reference's INTENDED text path (its encode_txt mistakenly
+        # applies img_hash; we apply its txt_hash weights directly)
+        txt_embed = ref.backbone.encode_text(torch.from_numpy(text))
+        t_txt = torch.tanh(ref.hash.txt_hash(txt_embed.float()))
+    j_img, j_txt = _our_encode(method, params, mstate, img, text, kpm)
+    _assert_code_parity(method, j_img, j_txt, t_img, t_txt)
