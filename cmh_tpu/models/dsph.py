@@ -67,11 +67,14 @@ class DSPHModel(BaseHashModel):
     output_dim: int = 16
     numclass: int = 80
     proxy_init_seed: int = 0
+    dropout: float = 0.2  # reference LinearHash fixes p=0.2 (hash/hash.py:11)
 
     def setup(self):
         self.backbone = CLIP(self.clip_cfg)
-        self.img_hash = LinearHash(self.output_dim, name="hash_img")
-        self.txt_hash = LinearHash(self.output_dim, name="hash_txt")
+        self.img_hash = LinearHash(self.output_dim, dropout=self.dropout,
+                                   name="hash_img")
+        self.txt_hash = LinearHash(self.output_dim, dropout=self.dropout,
+                                   name="hash_txt")
         # kaiming-normal(fan_out) proxies with the reference's torch seed
         # discipline replaced by the framework PRNG (HyP.py:11-16)
         self.proxies = self.param(
@@ -168,7 +171,8 @@ class DSPHMethod(Method):
         alpha = cfg_model.get("alpha", 0.8) if cfg_model else 0.8
         threshold = lookup_threshold(output_dim, numclass)
         module = DSPHModel(
-            clip_cfg=clip_cfg, output_dim=output_dim, numclass=numclass
+            clip_cfg=clip_cfg, output_dim=output_dim, numclass=numclass,
+            dropout=cfg_model.get("dropout", 0.2) if cfg_model else 0.2,
         )
         loss = dsph_loss_fn(threshold=threshold, alpha=alpha)
         return cls(module=module, loss=loss, cfg_model=cfg_model, train_num=train_num)

@@ -73,7 +73,10 @@ def data_dir(tmp_path_factory):
     # (dataset/transformer_dataset.py:73-80)
     scio.savemat(str(ds / "caption.mat"),
                  {"caption": np.asarray(caps).reshape(-1, 1)})
-    scio.savemat(str(ds / "label.mat"), {"category": labels})
+    # int64 labels: the reference MITH runner matmuls int64 train_labels
+    # against the raw batch label dtype (runners/MITH/runner.py:87) — float
+    # labels crash torch's mm with a dtype mismatch
+    scio.savemat(str(ds / "label.mat"), {"category": labels.astype(np.int64)})
     return str(root)
 
 
@@ -144,7 +147,7 @@ def stable_calc_map_k(qB, rB, query_L, retrieval_L, k=None):
     return torch.tensor(m / num_query)
 
 
-def run_reference(cfg_dict):
+def run_reference(cfg_dict, runner_arch="DCMHTTrainer", post_build=None):
     """Drive the actual reference trainer; returns (init state_dict, mAP
     trajectory as a list of [i2t, t2i, i2i, t2t] rows, per-valid code
     buffers)."""
@@ -152,7 +155,7 @@ def run_reference(cfg_dict):
     from cmh_tpu.config import config_from_dict
 
     cfg = config_from_dict(cfg_dict)
-    RefTrainer = ref_registry.get_runner_class("DCMHTTrainer")
+    RefTrainer = ref_registry.get_runner_class(runner_arch)
 
     class RefDeferredRun(RefTrainer):
         def run(self):  # training starts inside __init__ — defer it
@@ -161,6 +164,8 @@ def run_reference(cfg_dict):
     rt = RefDeferredRun.from_config(cfg=cfg, world_size=1, distributed=False)
     # deterministic pipeline: train transform → the eval Compose
     rt.train_loader.dataset.transform = rt.query_loader.dataset.transform
+    if post_build is not None:
+        post_build(rt)
 
     init_sd = {k: v.detach().clone() for k, v in rt.model.state_dict().items()}
 
@@ -187,7 +192,8 @@ def run_reference(cfg_dict):
     return init_sd, rows, code_rows
 
 
-def run_ours(cfg_dict, init_sd):
+def run_ours(cfg_dict, init_sd, runner_arch="DCMHTTrainer", transplant=None,
+             method_state_override=None):
     import jax.numpy as jnp
 
     from cmh_tpu.config import config_from_dict
@@ -195,18 +201,24 @@ def run_ours(cfg_dict, init_sd):
     from cmh_tpu.registry import registry
     from cmh_tpu.runners.base import TrainState
 
+    transplant = transplant or dcmht_from_torch_state
     cfg = config_from_dict(cfg_dict)
-    trainer = registry.get_runner_class("DCMHTTrainer").from_config(
+    trainer = registry.get_runner_class(runner_arch).from_config(
         cfg=cfg, auto_run=False
     )
     trainer.train_loader.dataset.is_train = False  # deterministic transform
 
-    params, model_state = dcmht_from_torch_state(init_sd)
+    params, model_state = transplant(init_sd)
+    method_state = trainer.method.init_method_state()
+    if method_state_override:
+        method_state = dict(method_state)
+        for k, v in method_state_override.items():
+            method_state[k] = jnp.asarray(v)
     trainer.state = TrainState(
         params=jax.tree_util.tree_map(jnp.asarray, params),
         model_state=jax.tree_util.tree_map(jnp.asarray, model_state),
         opt_state=trainer.tx.init(params),
-        method_state=trainer.method.init_method_state(),
+        method_state=method_state,
         step=jnp.zeros((), jnp.int32),
     )
 
@@ -279,4 +291,195 @@ def test_end_to_end_training_parity(data_dir, clip_ckpt, tmp_path):
             f"ref={ref_arr}\nours={our_arr}\ndiff={diff}"
         )
     finally:
+        jax.config.update("jax_default_matmul_precision", prev)
+
+
+def make_dsph_cfg_dict(data_dir, clip_ckpt, save_dir):
+    """DSPH exercises the dual-optimizer seam: BertAdam (backbone+heads) and
+    a second SGD(momentum, coupled weight decay) over the HyP proxies
+    (reference runners/DSPH/runner.py:83-125). Dropout is pinned to 0 on
+    both sides — the two frameworks draw dropout masks from unrelated RNGs,
+    so any p>0 breaks step-for-step comparability by construction."""
+    return {
+        "model": {"arch": "DSPH", "clip_path": clip_ckpt, "hash_func": "tanh",
+                  "clip_dtype": "float32", "numclass": N_CLASSES,
+                  "alpha": 0.3, "dropout": 0.0},
+        "optimizer": {"arch": "BertAdam", "lr": 0.002, "backbone_lr": 0.0001,
+                      "clip_lr": 0.0001,
+                      "hyp": {"lr": 0.02, "momentum": 0.9,
+                              "weight_decay": 0.0005}},
+        "dataset": {"arch": "transformer_dataset", "name": "parity",
+                    "path": data_dir, "img_file": "images.npy",
+                    "txt_file": "caption.mat", "label_file": "label.mat",
+                    "image_resolution": RES, "max_word": MAX_WORD},
+        "run": {"arch": "DSPHTrainer", "save_dir": save_dir,
+                "log_dir": save_dir, "output_dim": 16, "batch_size": BATCH,
+                "is_train": True, "train_num": TRAIN_NUM,
+                "query_num": QUERY_NUM, "epochs": EPOCHS, "seed": SEED,
+                "shuffle": False, "num_workers": 0, "pin_memory": False,
+                "device": "cpu", "display_step": 10_000, "top_k": None},
+    }
+
+
+def test_dsph_end_to_end_training_parity(data_dir, clip_ckpt, tmp_path):
+    """Second E2E trajectory: DSPH's proxies train under a separate SGD —
+    one partition-key slip or SGD-semantics mismatch (momentum buffer init,
+    coupled weight decay) drifts this immediately."""
+    from cmh_tpu.models.torch_import import dsph_from_torch_state
+
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        cfg_ref = make_dsph_cfg_dict(data_dir, clip_ckpt, str(tmp_path / "ref"))
+        cfg_ours = make_dsph_cfg_dict(data_dir, clip_ckpt, str(tmp_path / "ours"))
+        os.makedirs(cfg_ref["run"]["save_dir"], exist_ok=True)
+        os.makedirs(cfg_ours["run"]["save_dir"], exist_ok=True)
+
+        def zero_dropout(rt):
+            rt.model.hash.img_hash.drop_out.p = 0.0
+            rt.model.hash.txt_hash.drop_out.p = 0.0
+
+        init_sd, ref_rows, ref_codes = run_reference(
+            cfg_ref, runner_arch="DSPHTrainer", post_build=zero_dropout
+        )
+        our_rows, our_codes = run_ours(
+            cfg_ours, init_sd, runner_arch="DSPHTrainer",
+            transplant=dsph_from_torch_state,
+        )
+
+        ref_arr = np.asarray(ref_rows)
+        our_arr = np.asarray(our_rows)
+        for epoch, ((rq, rr), (oq, orr)) in enumerate(zip(ref_codes, our_codes)):
+            q_agree = float((rq == oq).mean())
+            r_agree = float((rr == orr).mean())
+            floor = 1.0 if epoch == 0 else 0.995
+            assert q_agree >= floor and r_agree >= floor, (
+                f"epoch {epoch - 1}: code agreement q={q_agree:.4f} "
+                f"r={r_agree:.4f} below {floor}"
+            )
+        diff = np.abs(ref_arr - our_arr)
+        assert diff[0].max() < 2e-3, (
+            f"init mAP mismatch: ref={ref_rows[0]} ours={our_rows[0]}"
+        )
+        assert diff.max() < 5e-3, (
+            "mAP trajectory drift exceeds ±0.005:\n"
+            f"ref={ref_arr}\nours={our_arr}\ndiff={diff}"
+        )
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
+
+
+@pytest.fixture(scope="module")
+def clip_ckpt64(tmp_path_factory):
+    """MITH's LCT transformer derives heads = embed_dim // 64 — embed ≥ 64."""
+    load_reference()
+    from models.CLIP.model import CLIP as RefCLIP
+
+    torch.manual_seed(4)
+    tm = RefCLIP(
+        embed_dim=64, image_resolution=RES, vision_layers=2, vision_width=64,
+        vision_patch_size=8, context_length=16, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2,
+    ).float()
+    path = str(tmp_path_factory.mktemp("ckpt64") / "clip_tiny64.pt")
+    torch.save(tm.state_dict(), path)
+    return path
+
+
+def make_mith_cfg_dict(data_dir, clip_ckpt, save_dir):
+    return {
+        "model": {"arch": "MITH", "clip_path": clip_ckpt, "hash_func": "tanh",
+                  "clip_dtype": "float32", "transformer_layers": 2,
+                  "top_k_label": 3, "res_mlp_layers": 2, "drop_out": 0.0,
+                  "dropout": 0.0},
+        "optimizer": {"arch": "BertAdam", "lr": 0.002, "backbone_lr": 0.0001,
+                      "clip_lr": 0.0001},
+        "dataset": {"arch": "transformer_dataset", "name": "parity",
+                    "path": data_dir, "img_file": "images.npy",
+                    "txt_file": "caption.mat", "label_file": "label.mat",
+                    "image_resolution": RES, "max_word": MAX_WORD},
+        "run": {"arch": "MITHTrainer", "save_dir": save_dir,
+                "log_dir": save_dir, "output_dim": 16, "batch_size": BATCH,
+                "is_train": True, "train_num": TRAIN_NUM,
+                "query_num": QUERY_NUM, "epochs": EPOCHS, "seed": SEED,
+                "shuffle": False, "num_workers": 0, "pin_memory": False,
+                "device": "cpu", "display_step": 10_000, "top_k": None},
+    }
+
+
+def test_mith_end_to_end_training_parity(data_dir, clip_ckpt64, tmp_path):
+    """Third E2E trajectory: MITH's train-set-sized memory banks (functional
+    method_state here, in-place tensors there) and the full-train-label
+    similarity seam. The reference MITH cannot be constructed as shipped
+    (MITH.py:34 unpack bug) — the registry entry is swapped for a fixed
+    subclass for the duration of the run. Banks initialize from torch.randn
+    (plain attributes, absent from state_dict), so the reference's initial
+    banks are captured post-build and injected into our method_state.
+
+    Tolerances are graduated: init row must be numerically exact and epoch 1
+    within ±0.005, but later epochs allow ±0.03 — MITH's loss (InfoNCE
+    exp/log terms at magnitude ~200) amplifies fp32 op-order noise
+    chaotically: measured per-step losses agree to 2e-6 RELATIVE at step 0
+    (seam bugs would show there) and the divergence doubles per step, which
+    at a 50-query toy gallery moves mAP beyond ±0.005 by epoch 2."""
+    ref_registry = load_reference()
+    from cmh_tpu.models.torch_import import mith_from_torch_state
+
+    RefMITH = ref_registry.get_model_class("MITH")
+
+    class ConstructibleMITH(RefMITH):
+        def load_backbone(self, clipPath, return_patches=False):
+            out = super().load_backbone(clipPath, return_patches)
+            return (out[0], out[2]) if len(out) == 3 else out
+
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    mapping = ref_registry.mapping["model_name_mapping"]
+    mapping["MITH"] = ConstructibleMITH
+    try:
+        cfg_ref = make_mith_cfg_dict(data_dir, clip_ckpt64, str(tmp_path / "ref"))
+        cfg_ours = make_mith_cfg_dict(data_dir, clip_ckpt64, str(tmp_path / "ours"))
+        os.makedirs(cfg_ref["run"]["save_dir"], exist_ok=True)
+        os.makedirs(cfg_ours["run"]["save_dir"], exist_ok=True)
+
+        banks = {}
+
+        def capture_banks(rt):
+            banks["img_cls"] = rt.model.img_buffer_cls.numpy().copy()
+            banks["txt_cls"] = rt.model.txt_buffer_cls.numpy().copy()
+            banks["img_tokens"] = rt.model.img_buffer_tokens.numpy().copy()
+            banks["txt_tokens"] = rt.model.txt_buffer_tokens.numpy().copy()
+
+        init_sd, ref_rows, ref_codes = run_reference(
+            cfg_ref, runner_arch="MITHTrainer", post_build=capture_banks
+        )
+        our_rows, our_codes = run_ours(
+            cfg_ours, init_sd, runner_arch="MITHTrainer",
+            transplant=lambda sd: mith_from_torch_state(sd, k_bits=16),
+            method_state_override=banks,
+        )
+
+        ref_arr = np.asarray(ref_rows)
+        our_arr = np.asarray(our_rows)
+        for epoch, ((rq, rr), (oq, orr)) in enumerate(zip(ref_codes, our_codes)):
+            q_agree = float((rq == oq).mean())
+            r_agree = float((rr == orr).mean())
+            floor = 1.0 if epoch == 0 else 0.995
+            assert q_agree >= floor and r_agree >= floor, (
+                f"epoch {epoch - 1}: code agreement q={q_agree:.4f} "
+                f"r={r_agree:.4f} below {floor}"
+            )
+        diff = np.abs(ref_arr - our_arr)
+        assert diff[0].max() < 2e-3, (
+            f"init mAP mismatch: ref={ref_rows[0]} ours={our_rows[0]}"
+        )
+        assert diff[1].max() < 5e-3, (
+            f"epoch-1 mAP drift exceeds ±0.005: diff={diff[1]}"
+        )
+        assert diff.max() < 3e-2, (
+            "mAP trajectory drift exceeds the chaotic-amplification bound:\n"
+            f"ref={ref_arr}\nours={our_arr}\ndiff={diff}"
+        )
+    finally:
+        mapping["MITH"] = RefMITH
         jax.config.update("jax_default_matmul_precision", prev)
