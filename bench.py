@@ -97,7 +97,7 @@ def bench_encode_best(batches=(64, 256), iters=10):
     return max(bench_encode(b, iters) for b in batches)
 
 
-def bench_encode(batch=64, iters=5):
+def bench_encode(batch=64, iters=8, runs=3):
     import jax
     import jax.numpy as jnp
 
@@ -117,30 +117,43 @@ def bench_encode(batch=64, iters=5):
         jax.random.PRNGKey(0), {"image": image, "text": text, "key_padding_mask": kpm}
     )
 
+    # iteration loop ON DEVICE (see bench_hamming): a python loop of jitted
+    # calls pays the ~40ms relay dispatch per call — at batch 256 that alone
+    # caps the reading at ~6.4e3 pairs/s regardless of the model (this is
+    # what round 1 reported). One lax.scan over a stacked input = one
+    # dispatch, one fetch. The carry perturbs each iteration's input so no
+    # iteration can be hoisted or CSEd. Images ride bf16 on the wire (the
+    # model computes in bf16 anyway) so the stack fits comfortably in HBM.
     @jax.jit
-    def fwd_sum(v, i, t, k):
-        img_hash, txt_hash = method.module.apply(v, i, t, k, train=False)
-        return jnp.sum(img_hash) + jnp.sum(txt_hash)
+    def fwd_scan(v, istack, tstack, k):
+        def body(carry, it):
+            i, t = it
+            i = i.astype(jnp.float32) + carry * 1e-6
+            img_hash, txt_hash = method.module.apply(v, i, t, k, train=False)
+            s = jnp.sum(img_hash, dtype=jnp.float32) + jnp.sum(
+                txt_hash, dtype=jnp.float32
+            )
+            return carry + s, s
 
-    # distinct inputs per iteration + device-side chain + one host fetch
-    # (see bench_hamming for why)
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), (istack, tstack))
+        return total
+
     rng = np.random.RandomState(0)
-    images = [
-        jnp.asarray(rng.randn(batch, res, res, 3).astype(np.float32))
-        for _ in range(iters)
-    ]
-    texts = [
-        jnp.asarray(rng.randint(1, 49405, size=(batch, 32)).astype(np.int32))
-        for _ in range(iters)
-    ]
-    float(fwd_sum(variables, images[0], texts[0], kpm))  # compile
-    t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    for i in range(iters):
-        acc = acc + fwd_sum(variables, images[i], texts[i], kpm)
-    float(acc)
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+    istack = _sync(jnp.asarray(
+        rng.randn(iters, batch, res, res, 3).astype(np.float32),
+        dtype=jnp.bfloat16,
+    ))
+    tstack = _sync(jnp.asarray(
+        rng.randint(1, 49405, size=(iters, batch, 32)).astype(np.int32)
+    ))
+    float(fwd_scan(variables, istack, tstack, kpm))  # compile + warm
+    rates = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        float(fwd_scan(variables, istack, tstack, kpm))
+        dt = (time.perf_counter() - t0) / iters
+        rates.append(batch / dt)
+    return float(np.median(rates))
 
 
 MAP_CHILD = r"""
@@ -192,18 +205,24 @@ cfg = config_from_dict({
           "display_step": 100000, "seed": 1},
 })
 tr = registry.get_runner_class("DCMHTTrainer").from_config(cfg=cfg, auto_run=False)
+import jax.numpy as jnp
 batches = []
 for b in iter(tr.train_loader):
-    import jax.numpy as jnp
     batches.append({k: jnp.asarray(v) for k, v in b.items()})
-tr.state, loss, _ = tr._train_step(tr.state, batches[0])   # compile
-float(loss)
-t0 = time.perf_counter()
+# steps chained ON DEVICE via the trainer's lax.scan path: a python loop of
+# jitted _train_step calls pays a ~40ms relay dispatch per step through the
+# tunnel (CLAUDE.md trap #3) — at ~100ms/step that overhead alone is ~40% of
+# the reading. One dispatch + one fetch measures the chip, which is what a
+# real (non-tunneled) deployment sees.
 n = 6
-for i in range(n):
-    tr.state, loss, _ = tr._train_step(tr.state, batches[i % len(batches)])
-# host fetch: steps chain through the train state, so this forces all n
-float(loss)
+stacked = {k: jnp.stack([batches[i % len(batches)][k] for i in range(n)])
+           for k in batches[0]}
+tr.state, losses = tr._train_scan(tr.state, stacked)   # compile
+float(losses[-1])
+t0 = time.perf_counter()
+tr.state, losses = tr._train_scan(tr.state, stacked)
+# host fetch of a value depending on every step forces completion
+float(jnp.sum(losses))
 dt = (time.perf_counter() - t0) / n
 # eval code generation (device-side scatter accumulation, ONE fetch per
 # eval — round 1 blocked on np.asarray per loader batch through the relay).

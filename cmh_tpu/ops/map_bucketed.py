@@ -179,13 +179,17 @@ def calc_map_k_4dir_auto(
     XLA bucketed path elsewhere or for long codes."""
     bits = int(jnp.asarray(q_img).shape[1])
     # the axon relay registers its platform as "axon", not "tpu"
-    if jax.default_backend() in ("tpu", "axon") and 2 * (bits + 1) <= 255:
+    if jax.default_backend() in ("tpu", "axon") and bits + 1 <= 256:
         from .map_pallas import calc_map_k_4dir_pallas
 
-        tq = 128 if bits <= 64 else 64
+        # keep the lane footprint (tq · (bits+2)) roughly constant so VMEM
+        # tiles stay the size tuned at 64 bits; >126-bit codes pack uint16,
+        # so halve the query chunk to keep the packed HBM matrix bounded
+        tq = 128 if bits <= 64 else (64 if bits <= 126 else 32)
+        chunk = 1024 if bits <= 126 else 512
         return calc_map_k_4dir_pallas(
             q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels, k,
-            tq=tq, tn=128,
+            chunk=chunk, tq=tq, tn=128,
         )
     return calc_map_k_4dir(
         q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels, k

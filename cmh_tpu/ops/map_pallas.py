@@ -6,10 +6,10 @@ materializes (C, L, V) one-hot/prefix tensors in HBM every gallery block,
 which dominates eval wall time (10.2s per 4-direction coco-scale eval even
 with the MXU tri-matmul cumsum). Design:
 
-- Layout: gallery-major. The packed matrix ``d2T`` is (N, Q) uint8 holding
-  ``2·distance + relevance`` — one byte per (gallery, query) pair carries
-  everything the kernel needs, so there is a single input stream and no
-  separate ground-truth matrix in HBM.
+- Layout: gallery-major. The packed matrix ``d2T`` is (N, Q) uint8 (uint16
+  for codes over 126 bits) holding ``2·distance + relevance`` — one narrow
+  word per (gallery, query) pair carries everything the kernel needs, so
+  there is a single input stream and no separate ground-truth matrix in HBM.
 - Each kernel tile is (TN gallery rows × TQ·VP lanes): every query's VP
   bucket-indicator lanes sit side by side, so all elementwise ops and MXU
   contractions run at full lane occupancy with zero HBM intermediates.
@@ -75,7 +75,7 @@ def _consts(tq: int, tn: int, vp: int):
 
 
 def _split_packed(d2):
-    """(TN, TQ) uint8 ``2·d + g`` → bf16 distance, bf16 relevance."""
+    """(TN, TQ) uint8/uint16 ``2·d + g`` → bf16 distance, bf16 relevance."""
     x = d2.astype(jnp.int32)
     d = jax.lax.shift_right_logical(x, 1).astype(jnp.bfloat16)
     g = jnp.bitwise_and(x, 1).astype(jnp.bfloat16)
@@ -227,13 +227,18 @@ def _map_counting_pallas(
     return jnp.where(total > 0, ap_q / jnp.maximum(total, 1.0), 0.0)
 
 
+def _packed_dtype(bits: int):
+    """Narrowest packed storage for ``2·(bits+1)`` (the pad sentinel)."""
+    return jnp.uint8 if 2 * (bits + 1) <= 255 else jnp.uint16
+
+
 def _packed_T(q_codes, r_codes, gnd, bits: int) -> jax.Array:
     """(N, C) gallery-major ``2·hamming + relevance`` via one bf16 MXU
     matmul (±1 products, f32 accumulation → exact)."""
     s = jnp.dot(r_codes.astype(jnp.bfloat16), q_codes.astype(jnp.bfloat16).T,
                 preferred_element_type=jnp.float32)
     d = 0.5 * (bits - s)
-    return (2.0 * d + gnd.T).astype(jnp.uint8)
+    return (2.0 * d + gnd.T).astype(_packed_dtype(bits))
 
 
 def calc_map_k_4dir_pallas(
@@ -253,13 +258,16 @@ def calc_map_k_4dir_pallas(
     ql = jnp.asarray(query_labels, jnp.float32)
     rl = jnp.asarray(retrieval_labels, jnp.float32)
     bits = int(q_img.shape[1])
-    assert 2 * (bits + 1) <= 255, "packed uint8 storage needs bits <= 126"
+    # bucket distances ride bf16 through the in-kernel MXU replication
+    # matmul — integers are exact in bf16 only up to 256, and the pad
+    # sentinel lives at distance bits+1
+    assert bits + 1 <= 256, "counting-rank Pallas kernel needs bits <= 255"
 
     num_query = q_img.shape[0]
     n = r_img.shape[0]
     n_pad = _round_up(n, tn)
     pad_rows = n_pad - n
-    sentinel = np.uint8(2 * (bits + 1))
+    sentinel = np.dtype(_packed_dtype(bits)).type(2 * (bits + 1))
 
     k_arr = jnp.float32(np.inf if k is None else float(k))
     r_stack = (r_txt, r_img, r_img, r_txt)

@@ -320,6 +320,22 @@ class BaseTrainer:
             )
             return new_state, loss, loss_dict
 
+        def train_scan(state: TrainState, stacked_batch):
+            """lax.scan of ``train_step`` over a leading steps axis.
+
+            One dispatch + one fetch for N steps — on the tunneled backend a
+            python loop of jitted calls pays a ~40ms relay dispatch per step
+            (CLAUDE.md trap #3), which would dominate the per-step time and
+            make throughput measurements read the tunnel instead of the
+            chip. Batches are passed stacked as an argument (never closed
+            over — trap #5: HBM constants blow the remote-compile request).
+            """
+            def body(s, b):
+                s2, loss, _ = train_step(s, b)
+                return s2, loss
+
+            return jax.lax.scan(body, state, stacked_batch)
+
         def encode_step(params, model_state, batch):
             variables = {"params": params, **model_state}
             img = method.module.apply(
@@ -363,6 +379,7 @@ class BaseTrainer:
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
             self._encode_step = jax.jit(encode_step)
+        self._train_scan = jax.jit(train_scan, donate_argnums=(0,))
 
     def _put_batch(self, batch):
         """Host batch → device(s): sharded over the dp axis under a mesh."""

@@ -95,3 +95,26 @@ def test_pallas_4dir_matches_bucketed_jnp():
             qi, qt, ri, rt, ql, rl, k, chunk=16, tq=8, tn=64, interpret=True
         )
         np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
+
+
+def test_pallas_4dir_long_codes_uint16():
+    """128-bit codes (TwDH long codes) exceed uint8 packing — the kernel
+    stores 2·d+g in uint16 and must stay exact vs the XLA bucketed path."""
+    from cmh_tpu.ops.map_pallas import calc_map_k_4dir_pallas
+
+    rng = np.random.RandomState(7)
+    nq, nr, bits, classes = 21, 157, 128, 4
+    qi = rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+    qt = rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+    ri = rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+    rt = rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+    ql = (rng.rand(nq, classes) > 0.5).astype(np.float32)
+    ql[:, 0] = 1
+    rl = (rng.rand(nr, classes) > 0.5).astype(np.float32)
+    rl[: nr // 3, 0] = 1
+
+    want = calc_map_k_4dir(qi, qt, ri, rt, ql, rl, None, chunk=32, block=64)
+    got = calc_map_k_4dir_pallas(
+        qi, qt, ri, rt, ql, rl, None, chunk=16, tq=8, tn=64, interpret=True
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)

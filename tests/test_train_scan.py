@@ -1,0 +1,50 @@
+"""Device-side multi-step training (``_train_scan``) ≡ the per-step path.
+
+The scan path exists so N train steps cost one dispatch + one fetch (the
+tunneled TPU backend pays ~40ms of relay overhead per jitted call — see
+CLAUDE.md "Benchmarking traps" #3); bench.py measures through it. It must be
+step-for-step the same program as ``_train_step`` or the bench would measure
+a different trainer than the one that runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from util_methods import tiny_trainer
+
+
+def _stack(batches, n):
+    return {
+        k: jnp.stack([jnp.asarray(batches[i % len(batches)][k]) for i in range(n)])
+        for k in batches[0]
+    }
+
+
+def test_train_scan_matches_per_step(tmp_path):
+    n = 4
+    tr_a = tiny_trainer(tmp_path / "a", "DCMHT", "DCMHTTrainer")
+    tr_b = tiny_trainer(tmp_path / "b", "DCMHT", "DCMHTTrainer")
+
+    batches = list(iter(tr_a.train_loader))
+    losses_a = []
+    for i in range(n):
+        db = {k: jnp.asarray(v) for k, v in batches[i % len(batches)].items()}
+        tr_a.state, loss, _ = tr_a._train_step(tr_a.state, db)
+        losses_a.append(float(loss))
+
+    # same seed → same init params; feed the scan the SAME host batches
+    # (both loaders draw shuffle order from the shared numpy global RNG, so
+    # re-iterating tr_b's loader would yield a different batch order)
+    stacked = _stack(batches, n)
+    tr_b.state, losses_b = tr_b._train_scan(tr_b.state, stacked)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_b), np.asarray(losses_a), rtol=1e-5, atol=1e-6
+    )
+    flat_a = jax.tree_util.tree_leaves(tr_a.state.params)
+    flat_b = jax.tree_util.tree_leaves(tr_b.state.params)
+    for pa, pb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
+    assert int(tr_b.state.step) == n
