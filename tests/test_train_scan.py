@@ -48,3 +48,25 @@ def test_train_scan_matches_per_step(tmp_path):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    rtol=1e-5, atol=1e-6)
     assert int(tr_b.state.step) == n
+
+
+def test_train_scan_with_method_state(tmp_path):
+    """MITH carries train-set-sized memory banks in method_state — the scan
+    must thread them step-to-step exactly like the per-step path."""
+    n = 3
+    tr_a = tiny_trainer(tmp_path / "a", "MITH", "MITHTrainer")
+    tr_b = tiny_trainer(tmp_path / "b", "MITH", "MITHTrainer")
+
+    batches = list(iter(tr_a.train_loader))
+    for i in range(n):
+        db = {k: jnp.asarray(v) for k, v in batches[i % len(batches)].items()}
+        tr_a.state, _, _ = tr_a._train_step(tr_a.state, db)
+
+    tr_b.state, _ = tr_b._train_scan(tr_b.state, _stack(batches, n))
+
+    for ma, mb in zip(
+        jax.tree_util.tree_leaves(tr_a.state.method_state),
+        jax.tree_util.tree_leaves(tr_b.state.method_state),
+    ):
+        np.testing.assert_allclose(np.asarray(ma), np.asarray(mb),
+                                   rtol=1e-5, atol=1e-6)
