@@ -48,13 +48,23 @@ class DNPHModel(BaseHashModel):
     clip_cfg: CLIPConfig
     output_dim: int = 16
     numclass: int = 80
+    # the reference hardcodes p=0.2 (hash/hash.py:14); configurable here so
+    # the reference-in-the-loop parity harness can pin it to 0 on both sides
+    dropout: float = 0.2
+    # reference quirk kept for parity: DNPH.__init__ (DNPH.py:27) never
+    # forwards numclass to HashLayer, so the Pre_Layer classification heads
+    # stay at HashLayer's default 80 classes even when the proxy loss uses
+    # the configured numclass
+    pre_classes: int = 80
 
     def setup(self):
         self.backbone = CLIP(self.clip_cfg)
-        self.img_hash = LinearHash(self.output_dim, name="hash_img")
-        self.txt_hash = LinearHash(self.output_dim, name="hash_txt")
-        self.img_pre = kaiming_dense(self.numclass, name="pre_img")
-        self.txt_pre = kaiming_dense(self.numclass, name="pre_txt")
+        self.img_hash = LinearHash(self.output_dim, self.dropout,
+                                   name="hash_img")
+        self.txt_hash = LinearHash(self.output_dim, self.dropout,
+                                   name="hash_txt")
+        self.img_pre = kaiming_dense(self.pre_classes, name="pre_img")
+        self.txt_pre = kaiming_dense(self.pre_classes, name="pre_txt")
         self.proxies = self.param(
             "proxies",
             lambda key, shape: jax.random.normal(key, shape) / 8.0,
@@ -149,7 +159,8 @@ class DNPHMethod(Method):
         mrg = cfg_model.get("mrg", 1.0) if cfg_model else 1.0
         noise_alpha = cfg_model.get("noise_alpha", 1.0) if cfg_model else 1.0
         module = DNPHModel(
-            clip_cfg=clip_cfg, output_dim=output_dim, numclass=numclass
+            clip_cfg=clip_cfg, output_dim=output_dim, numclass=numclass,
+            dropout=cfg_model.get("dropout", 0.2) if cfg_model else 0.2,
         )
         loss = dnph_loss_fn(
             mrg=mrg, noise_alpha=noise_alpha,

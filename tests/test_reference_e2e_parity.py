@@ -369,6 +369,84 @@ def test_dsph_end_to_end_training_parity(data_dir, clip_ckpt, tmp_path):
         jax.config.update("jax_default_matmul_precision", prev)
 
 
+def make_dnph_cfg_dict(data_dir, clip_ckpt, save_dir):
+    """DNPH: second plain SGD (no momentum) over the proxy-loss proxies
+    (reference runners/DNPH/runner.py:93-99) + the Pre_Layer CE head.
+    ``noise_alpha`` is pinned to 0 on BOTH sides: the reference draws its
+    Hungarian-matched ±1 noise from numpy's global RNG per step
+    (models/DNPH/loss/b_reg.py:15-16) while ours uses a jax PRNG — the
+    streams are unrelated by construction, so any α>0 breaks step-for-step
+    comparability. The assignment solver itself is parity-tested against
+    scipy in test_dsph_dnph.py. Dropout likewise pinned to 0 (the two
+    frameworks draw dropout masks from unrelated RNGs)."""
+    return {
+        "model": {"arch": "DNPH", "clip_path": clip_ckpt, "hash_func": "tanh",
+                  "clip_dtype": "float32", "numclass": N_CLASSES,
+                  "mrg": 1.0, "noise_alpha": 0.0, "dropout": 0.0},
+        "optimizer": {"arch": "BertAdam", "lr": 0.002, "backbone_lr": 0.0001,
+                      "clip_lr": 0.0001, "loss": {"lr": 0.01}},
+        "dataset": {"arch": "transformer_dataset", "name": "parity",
+                    "path": data_dir, "img_file": "images.npy",
+                    "txt_file": "caption.mat", "label_file": "label.mat",
+                    "image_resolution": RES, "max_word": MAX_WORD},
+        "run": {"arch": "DNPHTrainer", "save_dir": save_dir,
+                "log_dir": save_dir, "output_dim": 16, "batch_size": BATCH,
+                "is_train": True, "train_num": TRAIN_NUM,
+                "query_num": QUERY_NUM, "epochs": EPOCHS, "seed": SEED,
+                "shuffle": False, "num_workers": 0, "pin_memory": False,
+                "device": "cpu", "display_step": 10_000, "top_k": None},
+    }
+
+
+def test_dnph_end_to_end_training_parity(data_dir, clip_ckpt, tmp_path):
+    """Fourth E2E trajectory: DNPH's proxies live inside the torch loss
+    module under a separate momentum-free SGD, and the classification
+    Pre_Layers feed a CE term — a partition slip or CE/log-softmax mismatch
+    drifts this immediately."""
+    from cmh_tpu.models.torch_import import dnph_from_torch_state
+
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        cfg_ref = make_dnph_cfg_dict(data_dir, clip_ckpt, str(tmp_path / "ref"))
+        cfg_ours = make_dnph_cfg_dict(data_dir, clip_ckpt, str(tmp_path / "ours"))
+        os.makedirs(cfg_ref["run"]["save_dir"], exist_ok=True)
+        os.makedirs(cfg_ours["run"]["save_dir"], exist_ok=True)
+
+        def zero_dropout(rt):
+            rt.model.hash.image_hash.drop_out.p = 0.0
+            rt.model.hash.text_hash.drop_out.p = 0.0
+
+        init_sd, ref_rows, ref_codes = run_reference(
+            cfg_ref, runner_arch="DNPHTrainer", post_build=zero_dropout
+        )
+        our_rows, our_codes = run_ours(
+            cfg_ours, init_sd, runner_arch="DNPHTrainer",
+            transplant=dnph_from_torch_state,
+        )
+
+        ref_arr = np.asarray(ref_rows)
+        our_arr = np.asarray(our_rows)
+        for epoch, ((rq, rr), (oq, orr)) in enumerate(zip(ref_codes, our_codes)):
+            q_agree = float((rq == oq).mean())
+            r_agree = float((rr == orr).mean())
+            floor = 1.0 if epoch == 0 else 0.995
+            assert q_agree >= floor and r_agree >= floor, (
+                f"epoch {epoch - 1}: code agreement q={q_agree:.4f} "
+                f"r={r_agree:.4f} below {floor}"
+            )
+        diff = np.abs(ref_arr - our_arr)
+        assert diff[0].max() < 2e-3, (
+            f"init mAP mismatch: ref={ref_rows[0]} ours={our_rows[0]}"
+        )
+        assert diff.max() < 5e-3, (
+            "mAP trajectory drift exceeds ±0.005:\n"
+            f"ref={ref_arr}\nours={our_arr}\ndiff={diff}"
+        )
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
+
+
 @pytest.fixture(scope="module")
 def clip_ckpt64(tmp_path_factory):
     """MITH's LCT transformer derives heads = embed_dim // 64 — embed ≥ 64."""
