@@ -561,3 +561,218 @@ def test_mith_end_to_end_training_parity(data_dir, clip_ckpt64, tmp_path):
     finally:
         mapping["MITH"] = RefMITH
         jax.config.update("jax_default_matmul_precision", prev)
+
+
+@pytest.fixture(scope="module")
+def single_label_data_dir(tmp_path_factory):
+    """21-wide labels with exactly ONE active class (first 4 columns only).
+
+    TwDH's center-target builder substitutes torch-global-RNG random bits
+    wherever the mean of the selected centers is exactly 0
+    (/root/reference/models/TwDH/TwDH.py:192-205). With a single label the
+    mean is one ±1 center row — no zeros, no RNG draw used — which is the
+    only way to keep the two frameworks step-for-step comparable. Width 21
+    matches the nuswide center pkls (21, K) this test reuses."""
+    root = tmp_path_factory.mktemp("twdh_parity_data")
+    ds = root / "parity"
+    os.makedirs(ds)
+    rng = np.random.RandomState(11)
+    n_wide = 21
+
+    cls = rng.randint(0, N_CLASSES, size=N_ITEMS)
+    labels = np.zeros((N_ITEMS, n_wide), dtype=np.float64)
+    labels[np.arange(N_ITEMS), cls] = 1.0
+
+    imgs = rng.randint(40, 90, size=(N_ITEMS, RES, RES, 3)).astype(np.float64)
+    h = RES // 2
+    quads = [(slice(0, h), slice(0, h)), (slice(0, h), slice(h, None)),
+             (slice(h, None), slice(0, h)), (slice(h, None), slice(h, None))]
+    for c, (sy, sx) in enumerate(quads):
+        imgs[labels[:, c] > 0, sy, sx, c % 3] += 120.0
+    imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+    np.save(str(ds / "images.npy"), imgs)
+
+    caps = ["a photo of " + CLASS_WORDS[c] for c in cls]
+    scio.savemat(str(ds / "caption.mat"),
+                 {"caption": np.asarray(caps).reshape(-1, 1)})
+    scio.savemat(str(ds / "label.mat"), {"category": labels.astype(np.int64)})
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def twdh_assets(tmp_path_factory):
+    """Single-short-dim center/transform tree (long 512, short 16 only),
+    copied from the reference's real nuswide pkls so both frameworks load
+    byte-identical assets; a directory with only 16.pkl restricts the
+    reference's listdir-driven multi-dim loop (TwDH.py:41-54) to one dim."""
+    import shutil
+
+    src = "/root/reference/data/transformer/TwDH/nuswide"
+    root = str(tmp_path_factory.mktemp("twdh_assets"))
+    os.makedirs(root + "/long")
+    os.makedirs(root + "/short")
+    os.makedirs(root + "/trans/512")
+    shutil.copy(src + "/long/512.pkl", root + "/long/512.pkl")
+    shutil.copy(src + "/short/16.pkl", root + "/short/16.pkl")
+    shutil.copy(src + "/trans/512/16.pkl", root + "/trans/512/16.pkl")
+    return root
+
+
+def make_twdh_cfg_dict(data_dir, clip_ckpt, save_dir, assets):
+    return {
+        "model": {"arch": "TwDH", "clip_path": clip_ckpt,
+                  "hash_func": "softmax", "clip_dtype": "float32",
+                  "long_dim": 512, "short_dims": [16], "numclass": 21,
+                  "long_center": assets + "/long",
+                  "short_center": assets + "/short",
+                  "trans_matrix": assets + "/trans",
+                  "quan_alpha": 0.5, "low_rate": 0.5},
+        "optimizer": {"arch": "BertAdam", "lr": 0.002, "backbone_lr": 0.0001,
+                      "clip_lr": 0.0001},
+        "dataset": {"arch": "transformer_dataset", "name": "parity",
+                    "path": data_dir, "img_file": "images.npy",
+                    "txt_file": "caption.mat", "label_file": "label.mat",
+                    "image_resolution": RES, "max_word": MAX_WORD},
+        "run": {"arch": "TwDHTrainer", "save_dir": save_dir,
+                "log_dir": save_dir, "output_dim": 16, "batch_size": BATCH,
+                "is_train": True, "train_num": TRAIN_NUM,
+                "query_num": QUERY_NUM, "epochs": EPOCHS, "seed": SEED,
+                "shuffle": False, "num_workers": 0, "pin_memory": False,
+                "device": "cpu", "display_step": 10_000, "top_k": None},
+    }
+
+
+def _twdh_flatten_codes(long_img, long_txt, short_img, short_txt):
+    """±1 code buffers → one comparable array [long_i, long_t, short16_i,
+    short16_t]; works for torch tensors and jax arrays."""
+    def arr(x):
+        return x.numpy() if hasattr(x, "numpy") else np.asarray(x)
+
+    return (arr(long_img), arr(long_txt),
+            arr(short_img["16"]), arr(short_txt["16"]))
+
+
+def test_twdh_end_to_end_training_parity(single_label_data_dir, clip_ckpt,
+                                         twdh_assets, tmp_path):
+    """Fifth E2E trajectory: TwDH's two-dimension eval (long 512-bit codes —
+    the >256-bit argsort mAP route — plus transformed 16-bit short codes),
+    BCE-vs-center losses with the multi-label center targets, and
+    method_state-carried center/trans assets. 8 mAP records per valid
+    (4 directions × {long, short16}) must track the reference."""
+    from cmh_tpu.models.torch_import import twdh_from_torch_state
+
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        cfg_ref = make_twdh_cfg_dict(single_label_data_dir, clip_ckpt,
+                                     str(tmp_path / "ref"), twdh_assets)
+        cfg_ours = make_twdh_cfg_dict(single_label_data_dir, clip_ckpt,
+                                      str(tmp_path / "ours"), twdh_assets)
+        os.makedirs(cfg_ref["run"]["save_dir"], exist_ok=True)
+        os.makedirs(cfg_ours["run"]["save_dir"], exist_ok=True)
+
+        # --- reference side ---
+        ref_registry = load_reference()
+        from cmh_tpu.config import config_from_dict
+
+        cfg = config_from_dict(cfg_ref)
+        RefTrainer = ref_registry.get_runner_class("TwDHTrainer")
+
+        class RefDeferredRun(RefTrainer):
+            def run(self):
+                pass
+
+        rt = RefDeferredRun.from_config(cfg=cfg, world_size=1,
+                                        distributed=False)
+        rt.train_loader.dataset.transform = rt.query_loader.dataset.transform
+        # live reference bug: max_short/best_epoch_short are keyed by INT
+        # dims (runner.py:42-46) but valid_each indexes them with the STR
+        # keys of the code-buffer dicts (runner.py:150-155, 218-229) —
+        # KeyError on every short-dim valid as shipped. Re-key so the
+        # reference's own eval path can run. (Our trainer uses str keys
+        # throughout, cmh_tpu/runners/twdh.py:35-37.)
+        rt.max_short = {str(k): v for k, v in rt.max_short.items()}
+        rt.best_epoch_short = {str(k): v
+                               for k, v in rt.best_epoch_short.items()}
+        init_sd = {k: v.detach().clone()
+                   for k, v in rt.model.state_dict().items()}
+
+        ref_records = []
+        rt.calc_map_k = lambda *a, **k: (
+            ref_records.append(float(stable_calc_map_k(*a, **k)))
+            or ref_records[-1]
+        )
+        ref_codes = []
+        orig_get_code = rt.get_code
+
+        def ref_recording_get_code(loader, length):
+            out = orig_get_code(loader, length)
+            ref_codes.append(_twdh_flatten_codes(*out))
+            return out
+
+        rt.get_code = ref_recording_get_code
+        rt.valid(epoch=-1, k=None)
+        rt.train()
+        assert len(ref_records) == 8 * (EPOCHS + 1)
+
+        # --- our side ---
+        import jax.numpy as jnp
+
+        from cmh_tpu.registry import registry
+        from cmh_tpu.runners.base import TrainState
+
+        cfg_o = config_from_dict(cfg_ours)
+        trainer = registry.get_runner_class("TwDHTrainer").from_config(
+            cfg=cfg_o, auto_run=False
+        )
+        trainer.train_loader.dataset.is_train = False
+
+        params, model_state = twdh_from_torch_state(init_sd)
+        trainer.state = TrainState(
+            params=jax.tree_util.tree_map(jnp.asarray, params),
+            model_state=jax.tree_util.tree_map(jnp.asarray, model_state),
+            opt_state=trainer.tx.init(params),
+            method_state=trainer.method.init_method_state(),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        our_records = []
+        orig_calc = trainer.calc_map_k
+        trainer.calc_map_k = lambda *a, **k: (
+            our_records.append(float(orig_calc(*a, **k))) or our_records[-1]
+        )
+        our_codes = []
+        orig_our_get_code = trainer.get_code
+
+        def our_recording_get_code(loader, length):
+            out = orig_our_get_code(loader, length)
+            our_codes.append(_twdh_flatten_codes(*out))
+            return out
+
+        trainer.get_code = our_recording_get_code
+        trainer.valid(-1, k=None)
+        trainer.train()
+        assert len(our_records) == 8 * (EPOCHS + 1)
+
+        # --- compare ---
+        for v in range(2 * (EPOCHS + 1)):   # query/retrieval per valid
+            for part, (r, o) in enumerate(zip(ref_codes[v], our_codes[v])):
+                agree = float((r == o).mean())
+                floor = 1.0 if v < 2 else 0.995
+                assert agree >= floor, (
+                    f"valid {v // 2} part {part}: code agreement "
+                    f"{agree:.4f} below {floor}"
+                )
+
+        ref_arr = np.asarray(ref_records).reshape(EPOCHS + 1, 8)
+        our_arr = np.asarray(our_records).reshape(EPOCHS + 1, 8)
+        diff = np.abs(ref_arr - our_arr)
+        assert diff[0].max() < 2e-3, (
+            f"init mAP mismatch: ref={ref_arr[0]} ours={our_arr[0]}"
+        )
+        assert diff.max() < 5e-3, (
+            "mAP trajectory drift exceeds ±0.005:\n"
+            f"ref={ref_arr}\nours={our_arr}\ndiff={diff}"
+        )
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
