@@ -147,10 +147,12 @@ def stable_calc_map_k(qB, rB, query_L, retrieval_L, k=None):
     return torch.tensor(m / num_query)
 
 
-def run_reference(cfg_dict, runner_arch="DCMHTTrainer", post_build=None):
+def run_reference(cfg_dict, runner_arch="DCMHTTrainer", post_build=None,
+                  code_pick=None):
     """Drive the actual reference trainer; returns (init state_dict, mAP
     trajectory as a list of [i2t, t2i, i2i, t2t] rows, per-valid code
-    buffers)."""
+    buffers). ``code_pick`` maps a non-standard get_code return (e.g.
+    UMoED's 3-tuple with the never-written fusion buffer) to (img, txt)."""
     ref_registry = load_reference()
     from cmh_tpu.config import config_from_dict
 
@@ -178,9 +180,10 @@ def run_reference(cfg_dict, runner_arch="DCMHTTrainer", post_build=None):
     orig_get_code = rt.get_code
 
     def recording_get_code(loader, length):
-        img, txt = orig_get_code(loader, length)
+        out = orig_get_code(loader, length)
+        img, txt = (out[0], out[1]) if code_pick is None else code_pick(out)
         codes.append(np.stack([img.numpy(), txt.numpy()]))
-        return img, txt
+        return out
 
     rt.get_code = recording_get_code
     rt.valid(epoch=-1, k=None)   # init-state mAP (isolates encode parity)
@@ -769,6 +772,161 @@ def test_twdh_end_to_end_training_parity(single_label_data_dir, clip_ckpt,
         diff = np.abs(ref_arr - our_arr)
         assert diff[0].max() < 2e-3, (
             f"init mAP mismatch: ref={ref_arr[0]} ours={our_arr[0]}"
+        )
+        assert diff.max() < 5e-3, (
+            "mAP trajectory drift exceeds ±0.005:\n"
+            f"ref={ref_arr}\nours={our_arr}\ndiff={diff}"
+        )
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
+
+
+def make_dimch_cfg_dict(data_dir, clip_ckpt, save_dir):
+    """DIMCH: token-set hashing (Conv1d mixer + MLP heads + BatchNorm),
+    smooth-chamfer set similarity, DCG-weighted triplet + MMD losses.
+    Dropout pinned to 0 (unrelated RNG streams on the two sides); all other
+    knobs at the reference defaults (DIMCH.py:88-113)."""
+    return {
+        "model": {"arch": "DIMCH", "clip_path": clip_ckpt,
+                  "hash_func": "tanh", "clip_dtype": "float32",
+                  "setDim": 4, "dropout": 0.0, "merge_func": "mean",
+                  "loss_type": "l1", "cls_alpha": 0.7,
+                  "distance": {}, "chamfer": {}, "hash_pars": {}},
+        "optimizer": {"arch": "BertAdam", "lr": 0.002, "backbone_lr": 0.0001,
+                      "clip_lr": 0.0001},
+        "dataset": {"arch": "transformer_dataset", "name": "parity",
+                    "path": data_dir, "img_file": "images.npy",
+                    "txt_file": "caption.mat", "label_file": "label.mat",
+                    "image_resolution": RES, "max_word": MAX_WORD},
+        "run": {"arch": "DIMCHTrainer", "save_dir": save_dir,
+                "log_dir": save_dir, "output_dim": 16, "batch_size": BATCH,
+                "is_train": True, "train_num": TRAIN_NUM,
+                "query_num": QUERY_NUM, "epochs": EPOCHS, "seed": SEED,
+                "shuffle": False, "num_workers": 0, "pin_memory": False,
+                "device": "cpu", "display_step": 10_000, "top_k": None},
+    }
+
+
+def test_dimch_end_to_end_training_parity(data_dir, clip_ckpt, tmp_path):
+    """Sixth E2E trajectory: DIMCH's token-set pipeline — per-token hash
+    codes merged for eval, BatchNorm running stats updating across train
+    steps, and the chamfer/DCG-triplet/MMD loss stack. The reference's
+    SetwiseDistance hardcodes .cuda() at construction (distance.py:15) —
+    neutralised with the cuda_noop shim for the CPU run."""
+    from cmh_tpu.models.torch_import import dimch_from_torch_state
+    from cmh_tpu.tools.ref_compat import cuda_noop
+
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        cfg_ref = make_dimch_cfg_dict(data_dir, clip_ckpt,
+                                      str(tmp_path / "ref"))
+        cfg_ours = make_dimch_cfg_dict(data_dir, clip_ckpt,
+                                       str(tmp_path / "ours"))
+        os.makedirs(cfg_ref["run"]["save_dir"], exist_ok=True)
+        os.makedirs(cfg_ours["run"]["save_dir"], exist_ok=True)
+
+        with cuda_noop():
+            init_sd, ref_rows, ref_codes = run_reference(
+                cfg_ref, runner_arch="DIMCHTrainer"
+            )
+        our_rows, our_codes = run_ours(
+            cfg_ours, init_sd, runner_arch="DIMCHTrainer",
+            transplant=dimch_from_torch_state,
+        )
+
+        ref_arr = np.asarray(ref_rows)
+        our_arr = np.asarray(our_rows)
+        for epoch, ((rq, rr), (oq, orr)) in enumerate(zip(ref_codes, our_codes)):
+            q_agree = float((rq == oq).mean())
+            r_agree = float((rr == orr).mean())
+            floor = 1.0 if epoch == 0 else 0.995
+            assert q_agree >= floor and r_agree >= floor, (
+                f"epoch {epoch - 1}: code agreement q={q_agree:.4f} "
+                f"r={r_agree:.4f} below {floor}"
+            )
+        diff = np.abs(ref_arr - our_arr)
+        assert diff[0].max() < 2e-3, (
+            f"init mAP mismatch: ref={ref_rows[0]} ours={our_rows[0]}"
+        )
+        assert diff.max() < 5e-3, (
+            "mAP trajectory drift exceeds ±0.005:\n"
+            f"ref={ref_arr}\nours={our_arr}\ndiff={diff}"
+        )
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
+
+
+def make_umoed_cfg_dict(data_dir, clip_ckpt, save_dir):
+    """UMoED fused generative head: learned query slots → TransformerDecoder
+    over concatenated image+text tokens → classifier → linear-subspace codes
+    (reference models/UMoED/hash/hash_moe.py:22-60). Non-MoE decoder variant
+    (MoE SoftMoE layers are covered by unit variants in test_umoed.py);
+    dropout pinned to 0 (unrelated RNG streams)."""
+    return {
+        "model": {"arch": "UMoED", "clip_path": clip_ckpt,
+                  "hash_func": "linear_subspace", "clip_dtype": "float32",
+                  "setDim": 4, "dropout": 0.0, "merge_func": "concatenate",
+                  "loss_type": "l1", "cls_alpha": 0.7, "MoE": False,
+                  "fusion": True, "decoder_layers": 2, "decoder_heads": 8,
+                  "hidden_dim": 512, "extreme": True, "extreme_T": 0.01,
+                  "triplet": True, "distance_mode": "cosine",
+                  "distance": {}, "chamfer": {}, "hash_pars": {}},
+        "optimizer": {"arch": "BertAdam", "lr": 0.002, "backbone_lr": 0.0001,
+                      "clip_lr": 0.0001},
+        "dataset": {"arch": "transformer_dataset", "name": "parity",
+                    "path": data_dir, "img_file": "images.npy",
+                    "txt_file": "caption.mat", "label_file": "label.mat",
+                    "image_resolution": RES, "max_word": MAX_WORD},
+        "run": {"arch": "UMoEDTrainer", "save_dir": save_dir,
+                "log_dir": save_dir, "output_dim": 16, "batch_size": BATCH,
+                "is_train": True, "train_num": TRAIN_NUM,
+                "query_num": QUERY_NUM, "epochs": EPOCHS, "seed": SEED,
+                "shuffle": False, "num_workers": 0, "pin_memory": False,
+                "device": "cpu", "display_step": 10_000, "top_k": None},
+    }
+
+
+def test_umoed_end_to_end_training_parity(data_dir, clip_ckpt, tmp_path):
+    """Seventh E2E trajectory: UMoED's fused decoder head (query slots
+    cross-attending the concatenated token sets), linear-subspace code table
+    lookup, and the extreme/triplet loss stack."""
+    from cmh_tpu.models.torch_import import umoed_from_torch_state
+    from cmh_tpu.tools.ref_compat import cuda_noop
+
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        cfg_ref = make_umoed_cfg_dict(data_dir, clip_ckpt,
+                                      str(tmp_path / "ref"))
+        cfg_ours = make_umoed_cfg_dict(data_dir, clip_ckpt,
+                                       str(tmp_path / "ours"))
+        os.makedirs(cfg_ref["run"]["save_dir"], exist_ok=True)
+        os.makedirs(cfg_ours["run"]["save_dir"], exist_ok=True)
+
+        with cuda_noop():
+            init_sd, ref_rows, ref_codes = run_reference(
+                cfg_ref, runner_arch="UMoEDTrainer",
+                code_pick=lambda out: (out[0], out[1]),
+            )
+        our_rows, our_codes = run_ours(
+            cfg_ours, init_sd, runner_arch="UMoEDTrainer",
+            transplant=lambda sd: umoed_from_torch_state(sd, decoder_layers=2),
+        )
+
+        ref_arr = np.asarray(ref_rows)
+        our_arr = np.asarray(our_rows)
+        for epoch, ((rq, rr), (oq, orr)) in enumerate(zip(ref_codes, our_codes)):
+            q_agree = float((rq == oq).mean())
+            r_agree = float((rr == orr).mean())
+            floor = 1.0 if epoch == 0 else 0.995
+            assert q_agree >= floor and r_agree >= floor, (
+                f"epoch {epoch - 1}: code agreement q={q_agree:.4f} "
+                f"r={r_agree:.4f} below {floor}"
+            )
+        diff = np.abs(ref_arr - our_arr)
+        assert diff[0].max() < 2e-3, (
+            f"init mAP mismatch: ref={ref_rows[0]} ours={our_rows[0]}"
         )
         assert diff.max() < 5e-3, (
             "mAP trajectory drift exceeds ±0.005:\n"
