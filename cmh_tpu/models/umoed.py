@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.distances import (
-    batchwise_uniformity_loss,
+    batchwise_uniformity_loss_per_sample,
     setwise_similarity,
     weighted_triplet_loss,
 )
@@ -359,8 +359,10 @@ def umoed_loss_fn(*, set_dim, extreme, extreme_t, triplet, distance_mode,
                 label_sim * clamp(t2i_sim) - jax.nn.softplus(clamp(t2i_sim))
             )
 
-        div_i = batchwise_uniformity_loss(img_n, set_dim)
-        div_t = batchwise_uniformity_loss(txt_n, set_dim)
+        # per-sample variant: UMoED passes 3-D sets into the shared
+        # uniformity source (UMoED.py:317-318) where DIMCH pre-flattens
+        div_i = batchwise_uniformity_loss_per_sample(img_n, set_dim)
+        div_t = batchwise_uniformity_loss_per_sample(txt_n, set_dim)
         div = (div_i + div_t + 0.0) / 3.0
 
         triplet_total = (tokens_i2t + tokens_t2i) / 4.0

@@ -144,3 +144,28 @@ def batchwise_uniformity_loss(embs: jax.Array, num_embeds: int,
     rbf = jnp.exp(-t * euclidean_similarity(flat, flat) ** 2)
     upper = jnp.triu(rbf, k=1)
     return jnp.sum(upper) / (num_embeds * (num_embeds - 1) * 0.5)
+
+
+def batchwise_uniformity_loss_per_sample(embs: jax.Array, num_embeds: int,
+                                         t: float = 20.0) -> jax.Array:
+    """UMoED's diversity regularizer (reference UMoED.py:268-279).
+
+    Same source text as DIMCH's, but UMoED calls it with 3-D (B, M, D) sets
+    (UMoED.py:317-318) where DIMCH pre-flattens to (B·M, D) (DIMCH.py:186,
+    202) — torch.cdist then batches per sample, so only WITHIN-sample token
+    pairs are penalised. The distinction matters: decoder query slots are
+    shared across the batch, so cross-sample same-slot pairs are nearly
+    identical and would dominate the flattened sum.
+    """
+    if num_embeds == 1:
+        return jnp.float32(0.0)
+    d2 = jnp.sum(
+        jnp.square(embs[:, :, None, :] - embs[:, None, :, :]), axis=-1
+    )                                               # (B, M, M)
+    rbf = jnp.exp(-t * d2)
+    m = embs.shape[1]
+    upper = jnp.triu(jnp.ones((m, m), embs.dtype), k=1)
+    per = jnp.sum(rbf * upper[None], axis=(1, 2)) / (
+        num_embeds * (num_embeds - 1) * 0.5
+    )
+    return jnp.mean(per)
