@@ -934,3 +934,118 @@ def test_umoed_end_to_end_training_parity(data_dir, clip_ckpt, tmp_path):
         )
     finally:
         jax.config.update("jax_default_matmul_precision", prev)
+
+
+def make_baseline_cfg_dict(data_dir, clip_ckpt, save_dir):
+    return {
+        "model": {"arch": "Baseline", "clip_path": clip_ckpt,
+                  "clip_dtype": "float32", "quan_alpha": 0.001,
+                  "dropout": 0.0},
+        "optimizer": {"arch": "BertAdam", "lr": 0.002, "backbone_lr": 0.0001,
+                      "clip_lr": 0.0001},
+        "dataset": {"arch": "transformer_dataset", "name": "parity",
+                    "path": data_dir, "img_file": "images.npy",
+                    "txt_file": "caption.mat", "label_file": "label.mat",
+                    "image_resolution": RES, "max_word": MAX_WORD},
+        "run": {"arch": "BaselineTrainer", "save_dir": save_dir,
+                "log_dir": save_dir, "output_dim": 16, "batch_size": BATCH,
+                "is_train": True, "train_num": TRAIN_NUM,
+                "query_num": QUERY_NUM, "epochs": EPOCHS, "seed": SEED,
+                "shuffle": False, "num_workers": 0, "pin_memory": False,
+                "device": "cpu", "display_step": 10_000, "top_k": None},
+    }
+
+
+def test_baseline_end_to_end_training_parity(data_dir, clip_ckpt, tmp_path):
+    """Eighth E2E trajectory — completes 8/8 method coverage. The shipped
+    reference Baseline cannot run as-is: (1) load_backbone's return is
+    unpacked as (state_dict, model) and the int indexed (model.py:87-89);
+    (2) encode_txt routes text through the IMAGE head (model.py:58-61).
+    Both are patched in-harness to the author's evident intent (matching
+    the composed-eval test and our documented fixes); dropout (hardcoded
+    0.3 in HashLayer, model.py:29) is pinned to 0 post-build."""
+    ref_registry = load_reference()
+    from cmh_tpu.models.torch_import import baseline_from_torch_state
+
+    RefBaseline = ref_registry.get_model_class("Baseline")
+
+    class ConstructibleBaseline(RefBaseline):
+        def load_backbone(self, clipPath, return_patches=False):
+            sd = torch.load(clipPath, map_location="cpu", weights_only=True)
+            out = super().load_backbone(clipPath, return_patches)
+            return sd, out[-1]
+
+    # third live bug: the Baseline runner's optimizer groups reference
+    # ``self.model.clip`` but the model names the tower ``backbone``
+    # (runner.py:126 vs model.py:87) — AttributeError as shipped. Patch to
+    # the evident intent (backbone at clip_lr, heads at lr), which is what
+    # our param-tree partition does (cmh_tpu/runners/baseline.py:1-5).
+    RefBaselineTrainer = ref_registry.get_runner_class("BaselineTrainer")
+
+    class FixedOptBaselineTrainer(RefBaselineTrainer):
+        def build_optimizer(self, cfg_optimizer=None, parameters=None):
+            if parameters is None:
+                parameters = [
+                    {"params": self.model.backbone.parameters(),
+                     "lr": cfg_optimizer.get("clip_lr", 0.00001)},
+                    {"params": self.model.hash.parameters(),
+                     "lr": cfg_optimizer.get("lr", 0.001)},
+                ]
+            return super().build_optimizer(cfg_optimizer, parameters)
+
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    mapping = ref_registry.mapping["model_name_mapping"]
+    mapping["Baseline"] = ConstructibleBaseline
+    runner_mapping = ref_registry.mapping["runner_name_mapping"]
+    runner_mapping["BaselineTrainer"] = FixedOptBaselineTrainer
+    try:
+        cfg_ref = make_baseline_cfg_dict(data_dir, clip_ckpt,
+                                         str(tmp_path / "ref"))
+        cfg_ours = make_baseline_cfg_dict(data_dir, clip_ckpt,
+                                          str(tmp_path / "ours"))
+        os.makedirs(cfg_ref["run"]["save_dir"], exist_ok=True)
+        os.makedirs(cfg_ours["run"]["save_dir"], exist_ok=True)
+
+        def fix_intent(rt):
+            import types
+
+            h = rt.model.hash
+            h.img_hash[2].p = 0.0
+            h.txt_hash[2].p = 0.0
+
+            def encode_txt(self, txt):
+                return self.hash_func(self.txt_hash(txt))
+
+            h.encode_txt = types.MethodType(encode_txt, h)
+
+        init_sd, ref_rows, ref_codes = run_reference(
+            cfg_ref, runner_arch="BaselineTrainer", post_build=fix_intent
+        )
+        our_rows, our_codes = run_ours(
+            cfg_ours, init_sd, runner_arch="BaselineTrainer",
+            transplant=baseline_from_torch_state,
+        )
+
+        ref_arr = np.asarray(ref_rows)
+        our_arr = np.asarray(our_rows)
+        for epoch, ((rq, rr), (oq, orr)) in enumerate(zip(ref_codes, our_codes)):
+            q_agree = float((rq == oq).mean())
+            r_agree = float((rr == orr).mean())
+            floor = 1.0 if epoch == 0 else 0.995
+            assert q_agree >= floor and r_agree >= floor, (
+                f"epoch {epoch - 1}: code agreement q={q_agree:.4f} "
+                f"r={r_agree:.4f} below {floor}"
+            )
+        diff = np.abs(ref_arr - our_arr)
+        assert diff[0].max() < 2e-3, (
+            f"init mAP mismatch: ref={ref_rows[0]} ours={our_rows[0]}"
+        )
+        assert diff.max() < 5e-3, (
+            "mAP trajectory drift exceeds ±0.005:\n"
+            f"ref={ref_arr}\nours={our_arr}\ndiff={diff}"
+        )
+    finally:
+        mapping["Baseline"] = RefBaseline
+        runner_mapping["BaselineTrainer"] = RefBaselineTrainer
+        jax.config.update("jax_default_matmul_precision", prev)
