@@ -83,15 +83,46 @@ def quick_gelu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+class _LNParams(nn.Module):
+    """Bare scale/bias holder so the param tree path (…/ln/{scale,bias})
+    matches the previous nn.LayerNorm layout — checkpoint importers and the
+    torch transplant depend on it."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class LayerNormFp32(nn.Module):
-    """LayerNorm computed in fp32 regardless of activation dtype."""
+    """LayerNorm computed in fp32 regardless of activation dtype.
+
+    On a single real TPU the fused Pallas kernel (ops/layernorm_pallas.py)
+    replaces XLA's convert+reduce lowering, which measures ~20× off
+    memory-bound speed-of-light at the tower shapes; the explicit-math path
+    below is bit-compatible with flax nn.LayerNorm(use_fast_variance=True)
+    including its max(0, var) clamp."""
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ...ops.fused import fused_kernels_ok
+
+        scale, bias = _LNParams(x.shape[-1], name="ln")()
+        if fused_kernels_ok():
+            from ...ops.layernorm_pallas import fused_layernorm
+
+            return fused_layernorm(x, scale, bias)
         orig = x.dtype
-        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(
-            x.astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu),
+            0.0,
         )
+        out = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
         return out.astype(orig)
 
 
@@ -113,7 +144,8 @@ class MultiHeadAttention(nn.Module):
         attn_mask: Optional[jax.Array] = None,        # (L, S) additive
         key_padding_mask: Optional[jax.Array] = None,  # (B, S) bool, True=pad
         kv: Optional[jax.Array] = None,     # (B, S, D) keys/values (cross-attn)
-    ) -> Tuple[jax.Array, jax.Array]:
+        need_weights: bool = True,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
         b, l, d = x.shape
         h = self.heads
         hd = d // h
@@ -153,6 +185,26 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
         scale = hd**-0.5
+
+        if not need_weights:
+            from ...ops.fused import fused_kernels_ok
+
+            if fused_kernels_ok():
+                # fused Pallas path: no (B,H,L,S) probability tensor in HBM
+                # (ops/attention_pallas.py); only taken when the caller
+                # discards the weights — every block but the last
+                from ...ops.attention_pallas import fused_attention
+
+                out = fused_attention(q, k, v, scale, attn_mask,
+                                      key_padding_mask)
+                out = out.transpose(0, 2, 1, 3).reshape(b, l, d).astype(
+                    self.dtype
+                )
+                out = jnp.matmul(out, out_kernel.astype(self.dtype)) + (
+                    out_bias.astype(self.dtype)
+                )
+                return out, None
+
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
         )
@@ -170,7 +222,9 @@ class MultiHeadAttention(nn.Module):
         out = jnp.matmul(out, out_kernel.astype(self.dtype)) + out_bias.astype(
             self.dtype
         )
-        avg_weights = jnp.mean(weights, axis=1)                    # (B, L, L)
+        avg_weights = (
+            jnp.mean(weights, axis=1) if need_weights else None
+        )                                                          # (B, L, L)
         return out, avg_weights
 
 
@@ -180,10 +234,12 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, key_padding_mask=None):
+    def __call__(self, x, attn_mask=None, key_padding_mask=None,
+                 need_weights=True):
         attn_out, attn_weight = MultiHeadAttention(
             self.width, self.heads, self.dtype, name="attn"
-        )(LayerNormFp32(name="ln_1")(x), attn_mask, key_padding_mask)
+        )(LayerNormFp32(name="ln_1")(x), attn_mask, key_padding_mask,
+          need_weights=need_weights)
         x = x + attn_out
         y = LayerNormFp32(name="ln_2")(x).astype(self.dtype)
         y = nn.Dense(self.width * 4, dtype=self.dtype, param_dtype=jnp.float32,
@@ -207,10 +263,29 @@ class Transformer(nn.Module):
     def __call__(self, x, attn_mask=None, key_padding_mask=None):
         attn_weight = None
         for i in range(self.layers):
+            # only the last block's head-averaged weights are consumed
+            # (reference model.py:263-268, :381-396) — earlier blocks take
+            # the fused-attention path on TPU
             x, attn_weight = ResidualAttentionBlock(
                 self.width, self.heads, self.dtype, name=f"resblocks_{i}"
-            )(x, attn_mask, key_padding_mask)
+            )(x, attn_mask, key_padding_mask,
+              need_weights=(i == self.layers - 1))
         return x, attn_weight
+
+
+class _ConvKernel(nn.Module):
+    """Patch-embed kernel holder with nn.Conv's param layout (HWIO at
+    conv1/kernel) so both patchify paths share one parameter."""
+
+    patch: int
+    width: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.patch, self.patch, 3, self.width), jnp.float32,
+        )
 
 
 class VisionTransformer(nn.Module):
@@ -227,18 +302,34 @@ class VisionTransformer(nn.Module):
         cfg = self.cfg
         width = cfg.vision_width
         scale = width**-0.5
+        p = cfg.vision_patch_size
+        g = cfg.grid_size
+        b = image.shape[0]
 
-        x = nn.Conv(
-            features=width,
-            kernel_size=(cfg.vision_patch_size, cfg.vision_patch_size),
-            strides=(cfg.vision_patch_size, cfg.vision_patch_size),
-            use_bias=False,
-            dtype=cfg.dtype,
-            param_dtype=jnp.float32,
-            name="conv1",
-        )(image.astype(cfg.dtype))
-        b = x.shape[0]
-        x = x.reshape(b, -1, width)  # (B, grid*grid, width)
+        from ...ops.fused import fused_kernels_ok
+
+        if fused_kernels_ok():
+            # non-overlapping patch conv ≡ patchify + matmul: the reshape
+            # keeps (w, c) contiguous so the transpose moves whole 96-lane
+            # rows, and the (B·49, 3072)@(3072, 768) projection rides the
+            # MXU instead of XLA's large-kernel conv lowering. Same param
+            # (conv1/kernel, HWIO) — checkpoint importers unaffected.
+            kernel = _ConvKernel(p, width, name="conv1")()
+            x = image.astype(cfg.dtype).reshape(b, g, p, g, p * 3)
+            x = x.transpose(0, 1, 3, 2, 4).reshape(b, g * g, p * p * 3)
+            x = jnp.matmul(x, kernel.astype(cfg.dtype).reshape(p * p * 3,
+                                                               width))
+        else:
+            x = nn.Conv(
+                features=width,
+                kernel_size=(p, p),
+                strides=(p, p),
+                use_bias=False,
+                dtype=cfg.dtype,
+                param_dtype=jnp.float32,
+                name="conv1",
+            )(image.astype(cfg.dtype))
+            x = x.reshape(b, -1, width)  # (B, grid*grid, width)
 
         class_embedding = self.param(
             "class_embedding", nn.initializers.normal(scale), (width,), jnp.float32
