@@ -55,6 +55,66 @@ class BertAdamState(NamedTuple):
     v: Any                # second-moment pytree
 
 
+class FlatBertAdamState(NamedTuple):
+    """State of the flattened fast path (``bert_adam(..., flat=True)``).
+
+    ``m``/``v`` hold every leaf's moments concatenated into one fp32 vector
+    (each leaf zero-padded to a multiple of ``_CHUNK``); ``chunk_leaf`` maps
+    each chunk to its leaf index so the per-leaf clip norms come out of one
+    segment reduction instead of one reduce per parameter tensor."""
+
+    step: jax.Array        # int32 scalar
+    m: jax.Array           # (T,) fp32
+    v: jax.Array           # (T,) fp32
+    chunk_leaf: jax.Array  # (T // _CHUNK,) int32
+
+
+_CHUNK = 512
+
+
+class _FlatSpec:
+    """Static layout of a params pytree inside the flat vector."""
+
+    def __init__(self, params):
+        leaves, self.treedef = jax.tree_util.tree_flatten(params)
+        self.shapes = [l.shape for l in leaves]
+        self.dtypes = [l.dtype for l in leaves]
+        self.sizes = [max(1, math.prod(l.shape)) for l in leaves]
+        self.padded = [-(-s // _CHUNK) * _CHUNK for s in self.sizes]
+        self.offsets = [0]
+        for p in self.padded:
+            self.offsets.append(self.offsets[-1] + p)
+        self.total = self.offsets[-1]
+        self.n_leaves = len(leaves)
+
+    def chunk_leaf(self):
+        import numpy as np
+
+        return jnp.asarray(
+            np.repeat(np.arange(self.n_leaves, dtype=np.int32),
+                      [p // _CHUNK for p in self.padded])
+        )
+
+    def flatten(self, tree):
+        """Concatenate the tree's leaves (fp32, zero-padded) — one HLO op."""
+        leaves = jax.tree_util.tree_leaves(tree)
+        zpad = jnp.zeros((_CHUNK,), jnp.float32)
+        pieces = []
+        for leaf, size, padded in zip(leaves, self.sizes, self.padded):
+            pieces.append(leaf.astype(jnp.float32).reshape(size))
+            if padded != size:
+                pieces.append(zpad[: padded - size])
+        return jnp.concatenate(pieces) if pieces else jnp.zeros((0,), jnp.float32)
+
+    def unflatten(self, flat):
+        leaves = [
+            flat[o:o + s].reshape(shape).astype(dt)
+            for o, s, shape, dt in zip(self.offsets, self.sizes, self.shapes,
+                                       self.dtypes)
+        ]
+        return jax.tree_util.tree_unflatten(self.treedef, leaves)
+
+
 def scheduled_lr_factor(
     step, t_total: int, schedule: str = "warmup_linear", warmup: float = -1.0
 ):
@@ -77,6 +137,7 @@ def bert_adam(
     e: float = 1e-6,
     weight_decay: float = 0.01,
     max_grad_norm: float = 1.0,
+    flat: bool = False,
 ) -> optax.GradientTransformation:
     """Build the BertAdam transform.
 
@@ -86,9 +147,19 @@ def bert_adam(
         base learning rates (overrides ``lr`` where present).
       Other args mirror the reference constructor defaults
       (optimizer.py:65-67).
+      flat: use the flattened fast path — same math, but the ~6 ops ×
+        ~400 leaves the tree path emits (measured ~25 ms/step of the
+        103 ms ViT-B/32 train step on v5e) collapse into a handful of
+        whole-vector ops + one segment reduction for the per-leaf clip
+        norms. Requires a uniform ``lr`` (no ``lr_map``) and is
+        incompatible with the TP optimizer-state shardings — the trainer
+        enables it only off-mesh.
     """
     if schedule not in SCHEDULES:
         raise ValueError(f"Invalid schedule parameter: {schedule}")
+    if flat and lr_map is None:
+        return _bert_adam_flat(lr, warmup, t_total, schedule, b1, b2, e,
+                               weight_decay, max_grad_norm)
 
     def init_fn(params):
         zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -132,6 +203,53 @@ def bert_adam(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _bert_adam_flat(lr, warmup, t_total, schedule, b1, b2, e, weight_decay,
+                    max_grad_norm) -> optax.GradientTransformation:
+    """Flattened BertAdam: identical math to the tree path, one vector.
+
+    Per-leaf clip (torch clip_grad_norm_ semantics, reference
+    optimizer.py:120-125) is computed as chunk partial sums → one
+    ``segment_sum`` over chunk→leaf ids → per-leaf coefficients gathered
+    back per chunk. Summation order per leaf differs from the tree path
+    only in reduction association (chunked vs whole-leaf), both fp32."""
+
+    def init_fn(params):
+        spec = _FlatSpec(params)
+        # m and v must be distinct buffers: the jitted train step donates
+        # the state, and aliasing one zeros array twice trips XLA's
+        # "donate the same buffer twice" check at Execute()
+        return FlatBertAdamState(step=jnp.zeros((), jnp.int32),
+                                 m=jnp.zeros((spec.total,), jnp.float32),
+                                 v=jnp.zeros((spec.total,), jnp.float32),
+                                 chunk_leaf=spec.chunk_leaf())
+
+    def update_fn(grads, state, params=None):
+        assert params is not None, "bert_adam requires params for weight decay"
+        spec = _FlatSpec(params)
+        g = spec.flatten(grads)
+        if spec.n_leaves and max_grad_norm > 0:
+            gc = g.reshape(-1, _CHUNK)
+            chunk_ss = jnp.sum(gc * gc, axis=1)
+            leaf_ss = jax.ops.segment_sum(
+                chunk_ss, state.chunk_leaf, num_segments=spec.n_leaves,
+                indices_are_sorted=True,
+            )
+            coef = jnp.minimum(max_grad_norm / (jnp.sqrt(leaf_ss) + 1e-6), 1.0)
+            g = (gc * coef[state.chunk_leaf][:, None]).reshape(-1)
+        new_m = b1 * state.m + (1.0 - b1) * g
+        new_v = b2 * state.v + (1.0 - b2) * g * g
+        factor = scheduled_lr_factor(state.step, t_total, schedule, warmup)
+        upd = new_m / (jnp.sqrt(new_v) + e)
+        if weight_decay > 0.0:
+            upd = upd + weight_decay * spec.flatten(params)
+        upd = -(lr * factor) * upd
+        updates = spec.unflatten(upd)
+        return updates, FlatBertAdamState(step=state.step + 1, m=new_m,
+                                          v=new_v, chunk_leaf=state.chunk_leaf)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_lr_map(params: Any, base_lr: float, overrides: dict) -> Any:
     """Per-leaf lr pytree: top-level keys in ``overrides`` get their own lr.
 
@@ -151,10 +269,12 @@ class BertAdamFactory:
     """Registry adapter: cfg → optax transform (arch name parity)."""
 
     @staticmethod
-    def from_config(cfg_optimizer, lr_map=None, t_total: int = -1):
+    def from_config(cfg_optimizer, lr_map=None, t_total: int = -1,
+                    flat: bool = False):
         return bert_adam(
             lr=cfg_optimizer.get("lr", 0.001),
             lr_map=lr_map,
+            flat=flat,
             warmup=cfg_optimizer.get("warmup_proportion", 0.1),
             t_total=t_total,
             schedule=cfg_optimizer.get("schedule", "warmup_cosine"),

@@ -247,8 +247,14 @@ class BaseTrainer:
             e=cfg_optimizer.get("e", 1e-6),
             weight_decay=cfg_optimizer.get("weight_decay", 0.2),
             max_grad_norm=cfg_optimizer.get("max_grad_norm", 1.0),
+            # flattened update off-mesh: collapses the per-leaf op soup
+            # (~25 ms/step of the ViT-B/32 train step) into whole-vector
+            # ops; TP/DP shardings address the tree layout, so mesh runs
+            # keep the tree path
+            flat=cfg_optimizer.get("flat", self.mesh is None),
         )
         self._opt_cfg = dict(common, lr=lr, backbone_lr=backbone_lr)
+        self._opt_cfg.pop("flat", None)
         transforms = {"backbone": bert_adam(lr=backbone_lr, **common)}
         transforms.update(self.extra_optimizers(cfg_optimizer))
         self.tx = partitioned_optimizer(transforms, default=bert_adam(lr=lr, **common))

@@ -111,3 +111,64 @@ def test_per_param_clipping_is_independent():
     small = np.asarray(u2["small"]) * -1e9
     np.testing.assert_allclose(np.linalg.norm(big), 1.0, rtol=1e-4)
     np.testing.assert_allclose(small, [0.3, 0.4], rtol=1e-4)
+
+
+def test_flat_matches_tree_path():
+    """The flattened fast path (flat=True) is the same function as the tree
+    path: multi-step trajectories agree to fp32 reduction-order noise on a
+    nested tree with ragged leaf sizes (incl. a scalar and a _CHUNK-aligned
+    leaf)."""
+    rng = np.random.RandomState(3)
+    params = {
+        "backbone": {
+            "w": jnp.asarray(rng.randn(37, 19), jnp.float32),
+            "big": jnp.asarray(rng.randn(512), jnp.float32),
+            "nested": {"b": jnp.asarray(rng.randn(7), jnp.float32)},
+        },
+        "hash": {"k": jnp.asarray(rng.randn(3, 3, 3), jnp.float32),
+                 "s": jnp.asarray(rng.randn(), jnp.float32)},
+    }
+    kw = dict(lr=0.02, warmup=0.2, t_total=8, schedule="warmup_cosine",
+              b1=0.9, b2=0.98, e=1e-6, weight_decay=0.1, max_grad_norm=1.0)
+    tx_tree = bert_adam(flat=False, **kw)
+    tx_flat = bert_adam(flat=True, **kw)
+    pt = jax.tree_util.tree_map(lambda x: x, params)
+    pf = jax.tree_util.tree_map(lambda x: x, params)
+    st, sf = tx_tree.init(pt), tx_flat.init(pf)
+    for i in range(5):
+        g = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(
+                rng.standard_normal(x.shape) * (10.0 if i % 2 else 0.01),
+                jnp.float32),
+            params)
+        ut, st = tx_tree.update(g, st, pt)
+        uf, sf = tx_flat.update(g, sf, pf)
+        pt = optax.apply_updates(pt, ut)
+        pf = optax.apply_updates(pf, uf)
+    for a, b in zip(jax.tree_util.tree_leaves(pt), jax.tree_util.tree_leaves(pf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-7)
+
+
+def test_flat_matches_reference_math():
+    """flat=True against the fp64 torch oracle of the reference optimizer."""
+    rng = np.random.RandomState(4)
+    p0 = [rng.randn(4, 3).astype(np.float32), rng.randn(5).astype(np.float32)]
+    grads_seq = [
+        [rng.randn(4, 3).astype(np.float32) * 3,
+         rng.randn(5).astype(np.float32) * 0.1]
+        for _ in range(6)
+    ]
+    kw = dict(lr=0.01, warmup=0.3, t_total=10, schedule="warmup_cosine",
+              b1=0.9, b2=0.98, e=1e-6)
+    want = _torch_bert_adam_steps(p0, grads_seq, wd=0.05, max_norm=1.0, **kw)
+
+    tx = bert_adam(weight_decay=0.05, max_grad_norm=1.0, flat=True, **kw)
+    params = {"a": jnp.asarray(p0[0]), "b": jnp.asarray(p0[1])}
+    state = tx.init(params)
+    for grads in grads_seq:
+        g = {"a": jnp.asarray(grads[0]), "b": jnp.asarray(grads[1])}
+        updates, state = tx.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["a"]), want[0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(params["b"]), want[1], atol=1e-5)
