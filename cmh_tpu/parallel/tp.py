@@ -30,6 +30,13 @@ _TP_RULES = (
     (("c_fc", "kernel"), P(None, TP_AXIS)),           # MLP up
     (("c_fc", "bias"), P(TP_AXIS)),
     (("c_proj", "kernel"), P(TP_AXIS, None)),         # MLP down
+    # Expert parallelism for UMoED's Soft-MoE (models/umoed.py:SoftMoE):
+    # the expert axis shards over tp — dispatch/expert einsums run per
+    # shard, XLA psums the combine contraction over experts. The reference
+    # runs all experts on one device (SURVEY.md §2.8, SoftMoe.py:187-204).
+    (("phi",), P(None, TP_AXIS, None)),               # (d, n_exp, p)
+    (("expert_kernel",), P(TP_AXIS, None, None)),     # (n_exp, d, e)
+    (("expert_bias",), P(TP_AXIS, None)),             # (n_exp, e)
 )
 
 

@@ -146,3 +146,74 @@ def test_dp_tp_mesh_matches_single_device(tmp_path):
     # eval path works under the tp layout too
     maps = tr2.valid(epoch=0)
     assert all(0 <= m <= 1 for m in maps)
+
+
+def test_umoed_ep_tp_matches_single_device(tmp_path):
+    """dp=4 × tp=2 with expert parallelism: UMoED's Soft-MoE expert axis
+    shards over tp (parallel/tp.py EP rules) — loss identical to the
+    unsharded step, and the expert kernels really live sharded."""
+    from cmh_tpu.config import config_from_dict
+
+    def _cfg(path, distribute):
+        run = {"arch": "UMoEDTrainer", "save_dir": str(path),
+               "log_dir": str(path / "log"), "output_dim": 8,
+               "batch_size": 16, "is_train": True, "train_num": 32,
+               "query_num": 16, "epochs": 1, "display_step": 1000,
+               "seed": 3, "distribute": distribute}
+        if distribute:
+            run["tp"] = 2
+        return config_from_dict(
+            {
+                "model": {"arch": "UMoED", "clip_path": "/nonexistent.pt",
+                          "clip_variant": "tiny",
+                          "hash_func": "linear_subspace",
+                          "merge_func": "concatenate", "setDim": 8,
+                          "MoE": True, "fusion": True, "num_experts": 2,
+                          "slots_per_expert": 2, "decoder_heads": 2,
+                          "decoder_layers": 1, "hidden_dim": 32,
+                          "dropout": 0.1, "extreme": True, "extreme_T": 0.3,
+                          "triplet": True, "distance_mode": "cosine",
+                          "distance": {"mode": "pairwise"},
+                          "chamfer": {"unif_alpha": 0.8,
+                                      "token_triplet_margin": 0.1},
+                          "hash_pars": {"triplet_alpha": 1,
+                                        "triplet_margin": 0.3}},
+                "optimizer": {"arch": "BertAdam", "lr": 0.002,
+                              "clip_lr": 0.0005},
+                "dataset": {"arch": "synthetic_dataset", "name": "synthetic",
+                            "num_classes": 4, "image_resolution": 32,
+                            "max_word": 12},
+                "run": run,
+            }
+        )
+
+    runner_cls = registry.get_runner_class("UMoEDTrainer")
+    tr1 = runner_cls.from_config(cfg=_cfg(tmp_path / "ref", False),
+                                 auto_run=False)
+    tr2 = runner_cls.from_config(cfg=_cfg(tmp_path / "ep", True),
+                                 world_size=8, distributed=True,
+                                 auto_run=False)
+    assert tr2.mesh.shape["tp"] == 2 and tr2.mesh.shape["dp"] == 4
+
+    batch = next(iter(tr1.train_loader))
+    db1 = {k: jnp.asarray(v) for k, v in batch.items()}
+    db2 = shard_batch(batch, tr2.mesh)
+    _, loss1, _ = tr1._train_step(tr1.state, db1)
+    tr2.state, loss2, _ = tr2._train_step(tr2.state, db2)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+    # the expert kernels really are sharded over tp
+    def find_expert_kernel(tree, path=()):
+        if hasattr(tree, "items"):
+            for k, v in tree.items():
+                r = find_expert_kernel(v, path + (k,))
+                if r is not None:
+                    return r
+            return None
+        return tree if path and path[-1] == "expert_kernel" else None
+
+    leaf = find_expert_kernel(tr2.state.params)
+    assert leaf is not None
+    assert "tp" in str(leaf.sharding.spec)
+    maps = tr2.valid(epoch=0)
+    assert all(0 <= m <= 1 for m in maps)
