@@ -290,20 +290,55 @@ def main():
     def stage(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    _configure_jax()
-    import jax
+    # Every stage runs in a KILLABLE subprocess. A wedged TPU tunnel
+    # (observed this round: the backend handshake hangs inside the PJRT C
+    # call, where neither SIGALRM nor python-level timeouts can reach) must
+    # never keep the driver from getting the JSON line — subprocess.run's
+    # kill-on-timeout is the only reliable guard. A global deadline caps
+    # the stage budgets.
+    deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", 5400))
 
-    stage("hamming kernel")
-    hamming_rate = bench_hamming(bits=64)
+    def _budget(stage_s):
+        return max(1, int(min(stage_s, deadline - time.monotonic())))
+
+    def _child_call(expr, stage_s, default):
+        if deadline - time.monotonic() <= 5:
+            return default
+        code = (
+            "import json, sys; sys.path.insert(0, %r); import bench;"
+            "bench._configure_jax(); v = %s;"
+            "print('@RESULT@' + json.dumps(v))"
+            % (os.path.dirname(os.path.abspath(__file__)), expr)
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                timeout=_budget(stage_s), text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in proc.stdout.strip().splitlines()[::-1]:
+                if line.startswith("@RESULT@"):
+                    return json.loads(line[len("@RESULT@"):])
+            stage(f"stage produced no result (rc={proc.returncode}): "
+                  + (proc.stderr or "")[-300:].replace("\n", " "))
+        except Exception as e:
+            stage(f"stage failed: {type(e).__name__}")
+        return default
+
+    device_str = _child_call("str(__import__('jax').devices()[0])", 300,
+                             "unreachable")
+    stage(f"device: {device_str}")
+    stage("hamming kernel (subprocess)")
+    hamming_rate = _child_call("bench.bench_hamming(bits=64)", 2400, 0.0)
     stage(f"hamming: {hamming_rate:.3e} cmp/s")
-    stage("encode")
-    encode_rate = bench_encode_best()
-    stage(f"encode: {encode_rate:.1f} pairs/s")
+    stage("encode (subprocess)")
+    encode_rate = _child_call("bench.bench_encode_best()", 2400, None)
+    stage(f"encode: {encode_rate}")
     stage("map eval (subprocess)")
-    map_time = bench_map_eval_subprocess()
+    map_time = bench_map_eval_subprocess(timeout_s=_budget(1500))
     stage(f"map64 4dir: {map_time}")
     stage("train step (subprocess)")
-    train_rate, codegen_rate = bench_train_subprocess()
+    train_rate, codegen_rate = bench_train_subprocess(timeout_s=_budget(1800))
     stage(f"train: {train_rate}, eval codegen: {codegen_rate}")
 
     result = {
@@ -312,7 +347,9 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(hamming_rate / 1e8, 2),
         "extra": {
-            "encode_pairs_per_sec_per_chip": round(encode_rate, 2),
+            "encode_pairs_per_sec_per_chip": (
+                round(encode_rate, 2) if encode_rate is not None else None
+            ),
             "map_at_all_eval_time_s_64bit_4dir_coco_scale": (
                 round(map_time, 3) if map_time is not None else None
             ),
@@ -322,7 +359,7 @@ def main():
             "eval_codegen_items_per_sec_per_chip": (
                 round(codegen_rate, 2) if codegen_rate is not None else None
             ),
-            "device": str(jax.devices()[0]),
+            "device": device_str,
         },
     }
     print(json.dumps(result))
