@@ -184,7 +184,12 @@ print(json.dumps({"map_time": sorted(times)[1]}))
 
 
 TRAIN_CHILD = r"""
-import json, sys, time
+import json, sys, time, os
+# measured path: the fused-attention backward is perf-neutral end-to-end on
+# this backend (CLAUDE.md chip notes) and its compiled form on the real chip
+# is less battle-tested than the einsum path — pin the known-good lowering
+# so the train metric never degrades to null on a kernel regression
+os.environ.setdefault("CMH_TPU_FUSED", "0")
 import jax
 jax.config.update("jax_compilation_cache_dir", sys.argv[1])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
