@@ -250,6 +250,46 @@ def _bert_adam_flat(lr, warmup, t_total, schedule, b1, b2, e, weight_decay,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def convert_bert_adam_state(raw_state_dict, template, params):
+    """Restore a serialized BertAdam state into ``template``'s format.
+
+    A checkpoint written off-mesh carries the flat state (single m/v
+    vectors) while a mesh run builds the tree state, and vice versa —
+    this converts either serialized form (flax ``to_state_dict`` layout,
+    e.g. out of ``msgpack_restore``) into whatever the live optimizer
+    expects, so runs can move between single-chip and mesh freely.
+    Non-BertAdam states (SGD proxies, …) restore against the template
+    unchanged."""
+    import flax.serialization as ser
+
+    is_flat_raw = (
+        isinstance(raw_state_dict, dict)
+        and set(raw_state_dict) >= {"step", "m", "v"}
+        and not isinstance(raw_state_dict["m"], dict)
+    )
+    is_tree_raw = (
+        isinstance(raw_state_dict, dict)
+        and set(raw_state_dict) >= {"step", "m", "v"}
+        and isinstance(raw_state_dict["m"], dict)
+    )
+    if isinstance(template, FlatBertAdamState) and is_tree_raw:
+        spec = _FlatSpec(params)
+        f32 = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        m = spec.flatten(ser.from_state_dict(f32, raw_state_dict["m"]))
+        v = spec.flatten(ser.from_state_dict(f32, raw_state_dict["v"]))
+        return FlatBertAdamState(
+            step=jnp.asarray(raw_state_dict["step"], jnp.int32), m=m, v=v,
+            chunk_leaf=spec.chunk_leaf())
+    if isinstance(template, BertAdamState) and is_flat_raw:
+        spec = _FlatSpec(params)
+        m = spec.unflatten(jnp.asarray(raw_state_dict["m"], jnp.float32))
+        v = spec.unflatten(jnp.asarray(raw_state_dict["v"], jnp.float32))
+        return BertAdamState(
+            step=jnp.asarray(raw_state_dict["step"], jnp.int32), m=m, v=v)
+    return ser.from_state_dict(template, raw_state_dict)
+
+
 def build_lr_map(params: Any, base_lr: float, overrides: dict) -> Any:
     """Per-leaf lr pytree: top-level keys in ``overrides`` get their own lr.
 

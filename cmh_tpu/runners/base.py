@@ -652,10 +652,33 @@ class BaseTrainer:
         self.logger.info(f"checkpoint saved to {path}")
 
     def load_checkpoint(self, path: str):
-        import flax.serialization
+        import flax.serialization as ser
 
         with open(path, "rb") as f:
-            restored = flax.serialization.from_bytes(self.state._asdict(), f.read())
+            raw = f.read()
+        try:
+            restored = ser.from_bytes(self.state._asdict(), raw)
+        except Exception:
+            # optimizer-format mismatch: off-mesh runs store the flat
+            # BertAdam state, mesh runs the tree state — convert per
+            # partition so checkpoints move freely between the two
+            from ..optim.bert_adam import convert_bert_adam_state
+
+            raw_tree = ser.msgpack_restore(raw)
+            out = {}
+            for field, tmpl in self.state._asdict().items():
+                sub = raw_tree[field]
+                if field == "opt_state":
+                    out[field] = {
+                        k: convert_bert_adam_state(
+                            sub[k], tmpl[k], self.state.params[k])
+                        for k in tmpl
+                    }
+                else:
+                    out[field] = ser.from_state_dict(tmpl, sub)
+            restored = out
+            self.logger.info(
+                "optimizer state format converted (flat↔tree) on restore")
         self.state = TrainState(**restored)
         self.logger.info(f"checkpoint restored from {path}")
 

@@ -217,3 +217,49 @@ def test_umoed_ep_tp_matches_single_device(tmp_path):
     assert "tp" in str(leaf.sharding.spec)
     maps = tr2.valid(epoch=0)
     assert all(0 <= m <= 1 for m in maps)
+
+
+def test_checkpoint_crosses_flat_and_tree_optimizer_formats(tmp_path):
+    """A full-state checkpoint written off-mesh (flat BertAdam state) resumes
+    into a mesh trainer (tree state) and vice versa; moments survive the
+    conversion exactly."""
+    runner_cls = registry.get_runner_class("DCMHTTrainer")
+
+    cfg1 = _dp_cfg(tmp_path / "single")
+    cfg1.run.update({"distribute": False})
+    tr1 = runner_cls.from_config(cfg=cfg1, auto_run=False)
+    batch = next(iter(tr1.train_loader))
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+    tr1.state, _, _ = tr1._train_step(tr1.state, db)   # non-zero moments
+    ckpt = str(tmp_path / "cross.msgpack")
+    tr1.save_checkpoint(ckpt)
+    from cmh_tpu.optim.bert_adam import FlatBertAdamState
+
+    assert isinstance(tr1.state.opt_state["backbone"], FlatBertAdamState)
+
+    cfg2 = _dp_cfg(tmp_path / "mesh")
+    tr2 = runner_cls.from_config(cfg=cfg2, world_size=8, distributed=True,
+                                 auto_run=False)
+    tr2.load_checkpoint(ckpt)                           # flat -> tree
+    m_tree = tr2.state.opt_state["backbone"].m
+    flat_m = np.asarray(tr1.state.opt_state["backbone"].m)
+    leaf = jax.tree_util.tree_leaves(m_tree)[0]
+    assert np.abs(np.asarray(leaf)).sum() > 0           # real moments restored
+    assert int(tr2.state.opt_state["backbone"].step) == 1
+    # step again under the mesh to prove the restored state is usable
+    db2 = shard_batch(batch, tr2.mesh)
+    tr2.state, loss2, _ = tr2._train_step(tr2.state, db2)
+    assert np.isfinite(float(loss2))
+
+    # and back: mesh (tree) checkpoint into an off-mesh (flat) trainer
+    ckpt2 = str(tmp_path / "back.msgpack")
+    tr2.save_checkpoint(ckpt2)
+    cfg3 = _dp_cfg(tmp_path / "single2")
+    cfg3.run.update({"distribute": False})
+    tr3 = runner_cls.from_config(cfg=cfg3, auto_run=False)
+    tr3.load_checkpoint(ckpt2)                          # tree -> flat
+    assert isinstance(tr3.state.opt_state["backbone"], FlatBertAdamState)
+    assert int(tr3.state.opt_state["backbone"].step) == 2
+    assert np.abs(np.asarray(tr3.state.opt_state["backbone"].m)).sum() > 0
+    tr3.state, loss3, _ = tr3._train_step(tr3.state, db)
+    assert np.isfinite(float(loss3))
