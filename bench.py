@@ -187,9 +187,10 @@ TRAIN_CHILD = r"""
 import json, sys, time, os
 # measured path: the fused-attention backward is perf-neutral end-to-end on
 # this backend (CLAUDE.md chip notes) and its compiled form on the real chip
-# is less battle-tested than the einsum path — pin the known-good lowering
-# so the train metric never degrades to null on a kernel regression
-os.environ.setdefault("CMH_TPU_FUSED", "0")
+# is less battle-tested than the einsum path — hard-pin the known-good
+# lowering (an exported CMH_TPU_FUSED=1 from kernel experiments must not
+# leak into the driver's metric)
+os.environ["CMH_TPU_FUSED"] = "0"
 import jax
 jax.config.update("jax_compilation_cache_dir", sys.argv[1])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -310,7 +311,8 @@ def main():
         if deadline - time.monotonic() <= 5:
             return default
         code = (
-            "import json, sys; sys.path.insert(0, %r); import bench;"
+            "import json, sys, os; os.environ['CMH_TPU_FUSED'] = '0';"
+            "sys.path.insert(0, %r); import bench;"
             "bench._configure_jax(); v = %s;"
             "print('@RESULT@' + json.dumps(v))"
             % (os.path.dirname(os.path.abspath(__file__)), expr)

@@ -186,7 +186,9 @@ class MultiHeadAttention(nn.Module):
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
         scale = hd**-0.5
 
-        if not need_weights:
+        if not need_weights and kv is None:
+            # fused kernel is self-attention only: its blocking assumes
+            # S_kv == S_q (cross-attention kv would be truncated)
             from ...ops.fused import fused_kernels_ok
 
             if fused_kernels_ok():

@@ -190,15 +190,11 @@ def _attention_bwd(scale, res, do):
 
 _attention.defvjp(_attention_fwd, _attention_bwd)
 
-_FORCE_INTERPRET = False
-
 
 def _interpret() -> bool:
-    """Interpret mode off-TPU so the kernel (and its VJP) is testable on the
-    CPU conftest mesh; compiled Mosaic on real TPU."""
-    if _FORCE_INTERPRET:
-        return True
-    return jax.default_backend() != "tpu"
+    from .fused import interpret_mode
+
+    return interpret_mode()
 
 
 def fused_attention(
@@ -215,6 +211,11 @@ def fused_attention(
     boolean key-padding mask is converted to an additive -inf bias outside
     the custom_vjp so every residual has a well-defined (zero) cotangent.
     """
+    if k.shape != q.shape or v.shape != q.shape:
+        raise ValueError(
+            "fused_attention is self-attention only (blocking assumes "
+            f"S_kv == S_q): got q {q.shape}, k {k.shape}, v {v.shape}"
+        )
     kpm_bias = None
     if key_padding_mask is not None:
         kpm_bias = jnp.where(

@@ -27,8 +27,25 @@ import jax
 _ENV = "CMH_TPU_FUSED"
 
 
+_FORCE_INTERPRET = False    # test hook
+
+
 def fused_kernels_ok() -> bool:
     mode = os.environ.get(_ENV, "0")
     if mode != "1":
         return False
-    return jax.default_backend() in ("tpu", "cpu")
+    backend = jax.default_backend()
+    if backend == "tpu":
+        # a pallas_call has no SPMD partitioning rule — mesh runs keep
+        # the einsum/flax lowering
+        return jax.device_count() == 1
+    # CPU: interpret-mode kernels, used only by the equivalence tests
+    return backend == "cpu"
+
+
+def interpret_mode() -> bool:
+    """Shared by the kernel modules: compiled Mosaic on real TPU,
+    interpret mode elsewhere (the CPU equivalence tests)."""
+    if _FORCE_INTERPRET:
+        return True
+    return jax.default_backend() != "tpu"

@@ -86,7 +86,9 @@ def _bwd_kernel(n_rows, x_ref, g_ref, do_ref, dx_ref, dg_ref, db_ref):
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    from .fused import interpret_mode
+
+    return interpret_mode()
 
 
 @jax.custom_vjp

@@ -79,7 +79,9 @@ class _FlatSpec:
         leaves, self.treedef = jax.tree_util.tree_flatten(params)
         self.shapes = [l.shape for l in leaves]
         self.dtypes = [l.dtype for l in leaves]
-        self.sizes = [max(1, math.prod(l.shape)) for l in leaves]
+        # math.prod(()) == 1 covers scalars; zero-size leaves flatten to
+        # zero padded chunks and round-trip naturally
+        self.sizes = [math.prod(l.shape) for l in leaves]
         self.padded = [-(-s // _CHUNK) * _CHUNK for s in self.sizes]
         self.offsets = [0]
         for p in self.padded:

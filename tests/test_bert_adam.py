@@ -126,7 +126,8 @@ def test_flat_matches_tree_path():
             "nested": {"b": jnp.asarray(rng.randn(7), jnp.float32)},
         },
         "hash": {"k": jnp.asarray(rng.randn(3, 3, 3), jnp.float32),
-                 "s": jnp.asarray(rng.randn(), jnp.float32)},
+                 "s": jnp.asarray(rng.randn(), jnp.float32),
+                 "empty": jnp.zeros((0, 5), jnp.float32)},
     }
     kw = dict(lr=0.02, warmup=0.2, t_total=8, schedule="warmup_cosine",
               b1=0.9, b2=0.98, e=1e-6, weight_decay=0.1, max_grad_norm=1.0)

@@ -241,10 +241,18 @@ def test_checkpoint_crosses_flat_and_tree_optimizer_formats(tmp_path):
     tr2 = runner_cls.from_config(cfg=cfg2, world_size=8, distributed=True,
                                  auto_run=False)
     tr2.load_checkpoint(ckpt)                           # flat -> tree
-    m_tree = tr2.state.opt_state["backbone"].m
-    flat_m = np.asarray(tr1.state.opt_state["backbone"].m)
-    leaf = jax.tree_util.tree_leaves(m_tree)[0]
-    assert np.abs(np.asarray(leaf)).sum() > 0           # real moments restored
+    # exact moment equivalence: the restored tree must equal the flat
+    # vector unpacked through the same spec
+    from cmh_tpu.optim.bert_adam import _FlatSpec
+
+    spec = _FlatSpec(tr1.state.params["backbone"])
+    want_m = spec.unflatten(tr1.state.opt_state["backbone"].m)
+    got_m = tr2.state.opt_state["backbone"].m
+    for a, b in zip(jax.tree_util.tree_leaves(got_m),
+                    jax.tree_util.tree_leaves(want_m)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(np.abs(np.asarray(x)).sum() > 0
+               for x in jax.tree_util.tree_leaves(got_m))
     assert int(tr2.state.opt_state["backbone"].step) == 1
     # step again under the mesh to prove the restored state is usable
     db2 = shard_batch(batch, tr2.mesh)
