@@ -164,22 +164,26 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 from cmh_tpu.ops.map_bucketed import calc_map_k_4dir_auto as calc_map_k_4dir
 rng = np.random.RandomState(1)
-nq, nr, bits, classes = 5000, 110_000, 64, 80
-qi = rng.choice([-1.,1.], size=(nq,bits)).astype(np.float32)
-qt = rng.choice([-1.,1.], size=(nq,bits)).astype(np.float32)
-ri = rng.choice([-1.,1.], size=(nr,bits)).astype(np.float32)
-rt = rng.choice([-1.,1.], size=(nr,bits)).astype(np.float32)
+nq, nr, classes = 5000, 110_000, 80
 ql = (rng.rand(nq,classes)>0.9).astype(np.float32); ql[:,0]=1
 rl = (rng.rand(nr,classes)>0.9).astype(np.float32); rl[:nr//10,0]=1
-calc_map_k_4dir(qi[:1024], qt[:1024], ri, rt, ql[:1024], rl)  # compile (chunk-shaped)
-# median of 3: the trainer runs this every epoch, so steady-state is the
-# honest per-epoch cost (the first call pays one-time cache-load/tuning)
-times = []
-for _ in range(3):
-    t0 = time.perf_counter()
-    calc_map_k_4dir(qi, qt, ri, rt, ql, rl)  # the trainer's full valid() eval
-    times.append(time.perf_counter() - t0)
-print(json.dumps({"map_time": sorted(times)[1]}))
+out = {}
+# BASELINE.md primary metrics name BOTH 16- and 64-bit coco-scale eval time
+for bits, key in ((64, "map_time"), (16, "map_time_16bit")):
+    qi = rng.choice([-1.,1.], size=(nq,bits)).astype(np.float32)
+    qt = rng.choice([-1.,1.], size=(nq,bits)).astype(np.float32)
+    ri = rng.choice([-1.,1.], size=(nr,bits)).astype(np.float32)
+    rt = rng.choice([-1.,1.], size=(nr,bits)).astype(np.float32)
+    calc_map_k_4dir(qi[:1024], qt[:1024], ri, rt, ql[:1024], rl)  # compile
+    # median of 3: the trainer runs this every epoch, so steady-state is
+    # the honest per-epoch cost (first call pays cache-load/tuning)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        calc_map_k_4dir(qi, qt, ri, rt, ql, rl)  # trainer's full valid()
+        times.append(time.perf_counter() - t0)
+    out[key] = sorted(times)[1]
+print(json.dumps(out))
 """
 
 
@@ -277,7 +281,10 @@ def bench_train_subprocess(timeout_s=1800):
 
 
 def bench_map_eval_subprocess(timeout_s=1500):
-    """4-direction mAP@all at coco scale in a child (compile may be slow)."""
+    """4-direction mAP@all at coco scale in a child (compile may be slow).
+
+    Returns (map_time_64bit, map_time_16bit) — both BASELINE.md primary
+    metrics; either may be None on timeout."""
     try:
         proc = subprocess.run(
             [sys.executable, "-c", MAP_CHILD, CACHE_DIR],
@@ -286,10 +293,11 @@ def bench_map_eval_subprocess(timeout_s=1500):
         )
         for line in proc.stdout.strip().splitlines()[::-1]:
             if line.startswith("{"):
-                return json.loads(line)["map_time"]
+                d = json.loads(line)
+                return d.get("map_time"), d.get("map_time_16bit")
     except Exception:
         pass
-    return None
+    return None, None
 
 
 def main():
@@ -342,8 +350,8 @@ def main():
     encode_rate = _child_call("bench.bench_encode_best()", 2400, None)
     stage(f"encode: {encode_rate}")
     stage("map eval (subprocess)")
-    map_time = bench_map_eval_subprocess(timeout_s=_budget(1500))
-    stage(f"map64 4dir: {map_time}")
+    map_time, map_time_16 = bench_map_eval_subprocess(timeout_s=_budget(1500))
+    stage(f"map 4dir: 64-bit {map_time}, 16-bit {map_time_16}")
     stage("train step (subprocess)")
     train_rate, codegen_rate = bench_train_subprocess(timeout_s=_budget(1800))
     stage(f"train: {train_rate}, eval codegen: {codegen_rate}")
@@ -359,6 +367,9 @@ def main():
             ),
             "map_at_all_eval_time_s_64bit_4dir_coco_scale": (
                 round(map_time, 3) if map_time is not None else None
+            ),
+            "map_at_all_eval_time_s_16bit_4dir_coco_scale": (
+                round(map_time_16, 3) if map_time_16 is not None else None
             ),
             "train_step_pairs_per_sec_per_chip": (
                 round(train_rate, 2) if train_rate is not None else None
