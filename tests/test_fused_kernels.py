@@ -116,3 +116,28 @@ def test_clip_forward_fused_vs_reference_path(monkeypatch):
     fused = encode()
     for a, c in zip(fused, ref):
         np.testing.assert_allclose(a, c, atol=3e-5)
+
+
+def test_train_step_under_fused_kernels(tmp_path, monkeypatch):
+    """Full DCMHT train step with CMH_TPU_FUSED=1: the fused attention
+    custom_vjp backward and fused LayerNorm run inside the real jitted
+    train graph (interpret mode on CPU) and produce a finite loss that
+    matches the einsum path."""
+    import numpy as np
+    from tests.util_methods import tiny_trainer
+
+    import jax.numpy as jnp
+
+    def one_step(flag, path):
+        monkeypatch.setenv("CMH_TPU_FUSED", flag)
+        tr = tiny_trainer(path, "DCMHT", "DCMHTTrainer",
+                          model_extra={"hash_func": "softmax"}, batch=8)
+        batch = next(iter(tr.train_loader))
+        db = {k: jnp.asarray(v) for k, v in batch.items()}
+        _, loss, _ = tr._train_step(tr.state, db)
+        return float(loss)
+
+    l_fused = one_step("1", tmp_path / "fused")
+    l_ref = one_step("0", tmp_path / "ref")
+    assert np.isfinite(l_fused)
+    np.testing.assert_allclose(l_fused, l_ref, rtol=2e-4)
