@@ -342,6 +342,28 @@ def main():
 
     device_str = _child_call("str(__import__('jax').devices()[0])", 300,
                              "unreachable")
+    if device_str == "unreachable":
+        # one retry, then bail fast: a wedged tunnel would otherwise eat
+        # every stage budget just to produce the same nulls
+        stage("device probe failed — retrying once")
+        device_str = _child_call("str(__import__('jax').devices()[0])", 180,
+                                 "unreachable")
+    if device_str == "unreachable":
+        stage("backend unreachable — emitting degraded line")
+        print(json.dumps({
+            "metric": "hamming_comparisons_per_sec_per_chip", "value": 0.0,
+            "unit": "pairs/s", "vs_baseline": 0.0,
+            "extra": {
+                "encode_pairs_per_sec_per_chip": None,
+                "map_at_all_eval_time_s_64bit_4dir_coco_scale": None,
+                "map_at_all_eval_time_s_16bit_4dir_coco_scale": None,
+                "train_step_pairs_per_sec_per_chip": None,
+                "eval_codegen_items_per_sec_per_chip": None,
+                "device": "unreachable",
+                "error": "TPU backend unreachable (tunnel down)",
+            },
+        }))
+        return
     stage(f"device: {device_str}")
     stage("hamming kernel (subprocess)")
     hamming_rate = _child_call("bench.bench_hamming(bits=64)", 2400, 0.0)
