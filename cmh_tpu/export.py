@@ -1,0 +1,98 @@
+"""StableHLO export of trained encoders for python-free serving.
+
+The reference has no deployment story beyond pickled torch modules
+(SURVEY.md §5); here a trained method's image/text encode paths (backbone +
+hash head + binarization) export as serialized StableHLO with the weights
+baked in — loadable via ``jax.export.deserialize`` (or any StableHLO
+runtime) without the model code, configs, or checkpoint plumbing:
+
+    from cmh_tpu.export import export_encoders, load_encoders
+    export_encoders(method, variables, "encoders.cmh")
+    enc = load_encoders("encoders.cmh")
+    img_codes = enc.encode_image(images)            # (B, K) ±1 codes
+    txt_codes = enc.encode_text(tokens, kpm)
+
+The exported functions are exactly the trainer's eval path: the method's
+``encode_image``/``encode_text`` (eval-ready per method — e.g. DNPH drops
+its class predictions, MITH combines cls+token hashes) followed by
+``make_hash_code`` applied per output leaf, matching
+``runners/base.py:_scatter_codes``. Methods whose encode returns a pytree
+(TwDH's multi-dim codes) export the same pytree of ±1 codes.
+
+Exports are traced at a fixed batch size (pad the last batch), matching
+the static-shape discipline of the rest of the framework. Pair with
+``cmh_tpu.serving.RetrievalIndex`` for the query path.
+"""
+
+from __future__ import annotations
+
+import zipfile
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAGIC = "cmh-encoders-v1"
+
+
+def export_encoders(method, variables: Any, path: str, batch: int = 256,
+                    max_words: int = 32) -> None:
+    """Serialize the method's eval-time encode paths with weights baked in."""
+    from jax import export as jx
+
+    res = method.clip_cfg.image_resolution
+    make = method.make_hash_code
+
+    def encode_image(image):                        # (B, H, W, 3) float32
+        h = method.module.apply(
+            variables, image, train=False,
+            method=lambda m, x, train: m.encode_image(x, train=train),
+        )
+        return jax.tree_util.tree_map(make, h)
+
+    def encode_text(text, kpm):                     # (B, W) int32 / bool
+        h = method.module.apply(
+            variables, text, kpm, train=False,
+            method=lambda m, t, k, train: m.encode_text(t, k, train=train),
+        )
+        return jax.tree_util.tree_map(make, h)
+
+    img_spec = jax.ShapeDtypeStruct((batch, res, res, 3), jnp.float32)
+    txt_spec = jax.ShapeDtypeStruct((batch, max_words), jnp.int32)
+    kpm_spec = jax.ShapeDtypeStruct((batch, max_words), jnp.bool_)
+
+    img_exp = jx.export(jax.jit(encode_image))(img_spec)
+    txt_exp = jx.export(jax.jit(encode_text))(txt_spec, kpm_spec)
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("magic", _MAGIC)
+        z.writestr("image.stablehlo", img_exp.serialize())
+        z.writestr("text.stablehlo", txt_exp.serialize())
+
+
+class LoadedEncoders:
+    """Deserialized encode functions — no model code needed to run."""
+
+    def __init__(self, img_exp, txt_exp):
+        self._img = img_exp
+        self._txt = txt_exp
+
+    def encode_image(self, image):
+        out = self._img.call(jnp.asarray(image, jnp.float32))
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    def encode_text(self, text, key_padding_mask):
+        out = self._txt.call(jnp.asarray(text, jnp.int32),
+                             jnp.asarray(key_padding_mask, bool))
+        return jax.tree_util.tree_map(np.asarray, out)
+
+
+def load_encoders(path: str) -> LoadedEncoders:
+    from jax import export as jx
+
+    with zipfile.ZipFile(path) as z:
+        assert z.read("magic").decode() == _MAGIC, "not a cmh encoder export"
+        img = jx.deserialize(bytearray(z.read("image.stablehlo")))
+        txt = jx.deserialize(bytearray(z.read("text.stablehlo")))
+    return LoadedEncoders(img, txt)
