@@ -42,3 +42,31 @@ def test_export_roundtrip_matches_live_model(tmp_path):
     np.testing.assert_array_equal(got_i, np.asarray(want_i))
     np.testing.assert_array_equal(got_t, np.asarray(want_t))
     assert set(np.unique(got_i)) <= {-1.0, 1.0}
+
+
+def test_export_mith_combined_codes(tmp_path):
+    """MITH's eval code is cls+token combined inside its encode_* — the
+    export captures that method-specific seam too."""
+    from cmh_tpu.models.mith import MITHMethod
+
+    cfg_model = config_from_dict(
+        {"model": {"clip_variant": "tiny", "hash_func": "tanh"}}).model
+    method = MITHMethod.from_config(cfg_model, output_dim=8, train_num=32)
+    res = method.clip_cfg.image_resolution
+    B, W = 4, 12
+    rng = np.random.RandomState(1)
+    image = jnp.asarray(rng.randn(B, res, res, 3), jnp.float32)
+    text = jnp.asarray(rng.randint(1, 49405, (B, W)), jnp.int32)
+    kpm = jnp.zeros((B, W), bool)
+    variables = method.init_variables(
+        jax.random.PRNGKey(0),
+        {"image": image, "text": text, "key_padding_mask": kpm})
+
+    path = str(tmp_path / "mith.cmh")
+    export_encoders(method, variables, path, batch=B, max_words=W)
+    enc = load_encoders(path)
+    got = enc.encode_image(image)
+    want = method.make_hash_code(method.module.apply(
+        variables, image, train=False,
+        method=lambda m, x, train: m.encode_image(x, train=train)))
+    np.testing.assert_array_equal(got, np.asarray(want))
