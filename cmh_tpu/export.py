@@ -96,3 +96,58 @@ def load_encoders(path: str) -> LoadedEncoders:
         img = jx.deserialize(bytearray(z.read("image.stablehlo")))
         txt = jx.deserialize(bytearray(z.read("text.stablehlo")))
     return LoadedEncoders(img, txt)
+
+
+def main(argv=None):
+    """CLI: export a trained run's encoders.
+
+    python -m cmh_tpu.export --config-file configs/DCMHT/config.yaml \
+        --model result/.../model-9.msgpack --out encoders.cmh [--batch 256]
+    """
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--config-file", required=True)
+    ap.add_argument("--model", required=True,
+                    help="weights msgpack from a training run (model-N.msgpack)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--batch", type=int, default=256)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if os.environ.get("CMH_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["CMH_TPU_PLATFORM"])
+
+    import cmh_tpu  # noqa: F401  (registers methods)
+    from .config import load_config
+    from .registry import registry
+
+    cfg = load_config(args.config_file)
+    method_cls = registry.get_model_class(cfg.model.get("arch", "DCMHT"))
+    method = method_cls.from_config(
+        cfg.model, output_dim=cfg.run.get("output_dim", 16),
+        train_num=cfg.run.get("train_num", 10000))
+    res = method.clip_cfg.image_resolution
+    max_words = cfg.dataset.get("max_word", 32)
+    sample = {
+        "image": jnp.zeros((2, res, res, 3), jnp.float32),
+        "text": jnp.zeros((2, max_words), jnp.int32),
+        "key_padding_mask": jnp.zeros((2, max_words), bool),
+    }
+    variables = method.init_variables(jax.random.PRNGKey(0), sample)
+    from .runners.base import BaseTrainer
+
+    params, model_state = BaseTrainer.load_model_file(
+        args.model, variables["params"],
+        {k: v for k, v in variables.items() if k != "params"})
+    export_encoders(method, {"params": params, **model_state}, args.out,
+                    batch=args.batch, max_words=max_words)
+    print(f"exported encoders to {args.out}")
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
