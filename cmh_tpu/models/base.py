@@ -5,10 +5,13 @@ forward, ``object_function`` loss, and eval-code extraction
 (/root/reference/models/base.py:35-51, runners/base.py:236-240,296-305).
 This package makes those seams explicit and functional:
 
-- ``method.module``: a flax module whose param tree has top-level submodules
-  ``backbone`` (CLIP) and ``hash`` (method heads) — the optimizer partitions
-  learning rates by these keys exactly as the reference builds two param
-  groups (runners/base.py:136-137).
+- ``method.module``: a flax module whose param tree has a top-level
+  ``backbone`` (CLIP) submodule plus method-head submodules (``hash_img``,
+  ``gcl``, ``proxies``, … — names vary per method). The optimizer partitions
+  learning rates by these top-level keys: ``backbone`` gets the backbone lr,
+  SGD-trained keys (e.g. ``proxies``) get their own transform, and everything
+  else falls to the head-lr ``default`` partition (optim/partition.py) —
+  mirroring the reference's two param groups (runners/base.py:136-137).
 - ``method.loss(outputs, batch, method_state, step)``: a pure function
   returning (scalar loss, nested loss_dict, new method_state). Everything it
   touches is a jax array, so the whole train step jits into one XLA program.

@@ -7,10 +7,9 @@ model trained under the torch reference can be evaluated or fine-tuned here,
 and so the end-to-end parity harness can start both frameworks from
 bit-identical weights.
 
-Currently covers DCMHT (backbone + two ModalityHash heads,
-/root/reference/models/DCMHT/hash/hash.py:15-82); the building-block
-converters (`_attention`, `_linear`, `_layernorm`, `_batchnorm`) apply to the
-other methods' heads as they gain importers.
+Covers all eight methods (DCMHT, MITH, DSPH, DNPH, TwDH, DIMCH, UMoED,
+Baseline) via per-method head converters built on the shared building
+blocks (`_attention`, `_linear`, `_layernorm`, `_batchnorm`).
 """
 
 from __future__ import annotations

@@ -64,17 +64,8 @@ def state_shardings(state, mesh: Mesh):
     param_sh = tp_param_shardings(state.params, mesh)
 
     def opt_shard(opt_state):
-        # BertAdam moments mirror the param tree inside each partition entry;
-        # map where structures match, replicate otherwise
-        def try_match(sub):
-            try:
-                return jax.tree_util.tree_map_with_path(
-                    lambda path, leaf: NamedSharding(mesh, _spec_for_path(path)),
-                    sub,
-                )
-            except Exception:
-                return jax.tree_util.tree_map(lambda _: rep, sub)
-
+        # BertAdam moments mirror the param tree inside each partition entry,
+        # so the same path-based rules apply leaf-for-leaf.
         return jax.tree_util.tree_map_with_path(
             lambda path, leaf: NamedSharding(mesh, _spec_for_path(path)),
             opt_state,
