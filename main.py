@@ -47,6 +47,28 @@ def read_config(config_file: str, args):
     return cfg
 
 
+def maybe_init_distributed(cfg):
+    """Multi-host (multi-slice / DCN) rendezvous — the TPU-native analogue of
+    the reference's MASTER_ADDR/PORT + init_process_group
+    (/root/reference/runners/base.py:82-96). Single-host runs skip this
+    entirely. Split out of main() so the argument plumbing is unit-testable
+    with a mocked ``jax.distributed.initialize`` (a typo here would otherwise
+    only surface on a real multi-host pod)."""
+    if not cfg.run.get("multi_host", False):
+        return False
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address="{}:{}".format(
+            cfg.run.get("distributed_addr", "localhost"),
+            cfg.run.get("distributed_port", 12345),
+        ),
+        num_processes=cfg.run.get("num_processes", None),
+        process_id=cfg.run.get("process_id", None),
+    )
+    return True
+
+
 def main():
     args = get_args()
     stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M")
@@ -67,16 +89,7 @@ def main():
     if platform:
         jax.config.update("jax_platforms", platform)
 
-    # multi-host (multi-slice / DCN) rendezvous — the TPU-native analogue of
-    # the reference's MASTER_ADDR/PORT + init_process_group (runners/base.py:
-    # 82-96); single-host runs skip this entirely
-    if cfg.run.get("multi_host", False):
-        jax.distributed.initialize(
-            coordinator_address=cfg.run.get("distributed_addr", "localhost")
-            + ":" + str(cfg.run.get("distributed_port", 12345)),
-            num_processes=cfg.run.get("num_processes", None),
-            process_id=cfg.run.get("process_id", None),
-        )
+    maybe_init_distributed(cfg)
 
     world_size = jax.device_count()
     if args.distribute:
