@@ -19,9 +19,11 @@ its class predictions, MITH combines cls+token hashes) followed by
 ``runners/base.py:_scatter_codes``. Methods whose encode returns a pytree
 (TwDH's multi-dim codes) export the same pytree of ±1 codes.
 
-Exports are traced at a fixed batch size (pad the last batch), matching
-the static-shape discipline of the rest of the framework. Pair with
-``cmh_tpu.serving.RetrievalIndex`` for the query path.
+By default the batch dimension is exported symbolically
+(``jax.export.symbolic_shape``) so one serialized artifact serves ANY batch
+size without retracing or caller-side padding; pass ``batch=<int>`` to pin
+a static batch instead (the compiled executable is then specialized to that
+shape). Pair with ``cmh_tpu.serving.RetrievalIndex`` for the query path.
 """
 
 from __future__ import annotations
@@ -36,31 +38,53 @@ import numpy as np
 _MAGIC = "cmh-encoders-v1"
 
 
-def export_encoders(method, variables: Any, path: str, batch: int = 256,
-                    max_words: int = 32) -> None:
-    """Serialize the method's eval-time encode paths with weights baked in."""
+def export_encoders(method, variables: Any, path: str, batch: int | None = None,
+                    max_words: int = 32, method_state: Any = None) -> None:
+    """Serialize the method's eval-time encode paths with weights baked in.
+
+    ``batch=None`` (default) exports a symbolic batch dimension — the loaded
+    encoders accept any batch size. An int pins a static batch.
+
+    ``method_state`` supplies eval-time constants some methods fold into
+    their codes (TwDH's ``trans`` projection matrices → multi-dim pytree
+    codes, runners/twdh.py:44-58); they are baked into the artifact like
+    the weights."""
+    import inspect
+
     from jax import export as jx
 
     res = method.clip_cfg.image_resolution
     make = method.make_hash_code
 
+    # eval-time kwargs beyond (inputs, train): currently TwDH's `trans`
+    extra = {}
+    if method_state is not None and "trans" in method_state:
+        sig = inspect.signature(type(method.module).encode_image)
+        if "trans" in sig.parameters:
+            extra["trans"] = jax.tree_util.tree_map(
+                jnp.asarray, method_state["trans"])
+
     def encode_image(image):                        # (B, H, W, 3) float32
         h = method.module.apply(
-            variables, image, train=False,
-            method=lambda m, x, train: m.encode_image(x, train=train),
+            variables, image, train=False, **extra,
+            method=lambda m, x, train, **kw: m.encode_image(x, train=train, **kw),
         )
         return jax.tree_util.tree_map(make, h)
 
     def encode_text(text, kpm):                     # (B, W) int32 / bool
         h = method.module.apply(
-            variables, text, kpm, train=False,
-            method=lambda m, t, k, train: m.encode_text(t, k, train=train),
+            variables, text, kpm, train=False, **extra,
+            method=lambda m, t, k, train, **kw: m.encode_text(t, k, train=train, **kw),
         )
         return jax.tree_util.tree_map(make, h)
 
-    img_spec = jax.ShapeDtypeStruct((batch, res, res, 3), jnp.float32)
-    txt_spec = jax.ShapeDtypeStruct((batch, max_words), jnp.int32)
-    kpm_spec = jax.ShapeDtypeStruct((batch, max_words), jnp.bool_)
+    if batch is None:
+        (b,) = jx.symbolic_shape("b")
+    else:
+        b = batch
+    img_spec = jax.ShapeDtypeStruct((b, res, res, 3), jnp.float32)
+    txt_spec = jax.ShapeDtypeStruct((b, max_words), jnp.int32)
+    kpm_spec = jax.ShapeDtypeStruct((b, max_words), jnp.bool_)
 
     img_exp = jx.export(jax.jit(encode_image))(img_spec)
     txt_exp = jx.export(jax.jit(encode_text))(txt_spec, kpm_spec)
@@ -112,7 +136,9 @@ def main(argv=None):
     ap.add_argument("--model", required=True,
                     help="weights msgpack from a training run (model-N.msgpack)")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="pin a static batch size (default: symbolic batch — "
+                         "the export serves any batch without retracing)")
     args = ap.parse_args(argv)
 
     import jax
@@ -142,8 +168,10 @@ def main(argv=None):
     params, model_state = BaseTrainer.load_model_file(
         args.model, variables["params"],
         {k: v for k, v in variables.items() if k != "params"})
+    trans = getattr(method, "_trans", None)
     export_encoders(method, {"params": params, **model_state}, args.out,
-                    batch=args.batch, max_words=max_words)
+                    batch=args.batch, max_words=max_words,
+                    method_state={"trans": trans} if trans else None)
     print(f"exported encoders to {args.out}")
 
 

@@ -70,3 +70,116 @@ def test_export_mith_combined_codes(tmp_path):
         variables, image, train=False,
         method=lambda m, x, train: m.encode_image(x, train=train)))
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def _rand_batch(method, B, W, seed):
+    res = method.clip_cfg.image_resolution
+    rng = np.random.RandomState(seed)
+    image = jnp.asarray(rng.randn(B, res, res, 3), jnp.float32)
+    text = jnp.asarray(rng.randint(1, 49405, (B, W)), jnp.int32)
+    kpm = jnp.zeros((B, W), bool)
+    return image, text, kpm
+
+
+def _live_codes(method, variables, image, text, kpm, **extra):
+    make = method.make_hash_code
+    want_i = jax.tree_util.tree_map(make, method.module.apply(
+        variables, image, train=False, **extra,
+        method=lambda m, x, train, **kw: m.encode_image(x, train=train, **kw)))
+    want_t = jax.tree_util.tree_map(make, method.module.apply(
+        variables, text, kpm, train=False, **extra,
+        method=lambda m, t, k, train, **kw: m.encode_text(t, k, train=train, **kw)))
+    return want_i, want_t
+
+
+def test_export_symbolic_batch_two_sizes(tmp_path):
+    """Default export has a symbolic batch dim: one artifact serves B=3 and
+    B=5 (pair-argmax method) with bit-exact parity (VERDICT r2 #6)."""
+    cfg_model = config_from_dict(
+        {"model": {"clip_variant": "tiny", "hash_func": "softmax"}}).model
+    method = DCMHTMethod.from_config(cfg_model, output_dim=8)
+    W = 12
+    image, text, kpm = _rand_batch(method, 3, W, 7)
+    variables = method.init_variables(
+        jax.random.PRNGKey(0),
+        {"image": image, "text": text, "key_padding_mask": kpm})
+
+    path = str(tmp_path / "sym.cmh")
+    export_encoders(method, variables, path, max_words=W)  # batch=None
+    enc = load_encoders(path)
+
+    for B, seed in ((3, 7), (5, 8)):
+        image, text, kpm = _rand_batch(method, B, W, seed)
+        want_i, want_t = _live_codes(method, variables, image, text, kpm)
+        got_i = enc.encode_image(image)
+        got_t = enc.encode_text(text, kpm)
+        assert got_i.shape == (B, 8)
+        np.testing.assert_array_equal(got_i, np.asarray(want_i))
+        np.testing.assert_array_equal(got_t, np.asarray(want_t))
+
+
+def test_export_dsph_sign_codes(tmp_path):
+    """Sign-mode method (DSPH) round-trips through a symbolic-batch export."""
+    from cmh_tpu.models.dsph import DSPHMethod
+
+    cfg_model = config_from_dict(
+        {"model": {"clip_variant": "tiny", "numclass": 4}}).model
+    method = DSPHMethod.from_config(cfg_model, output_dim=8, train_num=32)
+    W = 12
+    image, text, kpm = _rand_batch(method, 2, W, 3)
+    variables = method.init_variables(
+        jax.random.PRNGKey(1),
+        {"image": image, "text": text, "key_padding_mask": kpm})
+
+    path = str(tmp_path / "dsph.cmh")
+    export_encoders(method, variables, path, max_words=W)
+    enc = load_encoders(path)
+    for B, seed in ((2, 3), (6, 4)):
+        image, text, kpm = _rand_batch(method, B, W, seed)
+        want_i, want_t = _live_codes(method, variables, image, text, kpm)
+        got_i = enc.encode_image(image)
+        got_t = enc.encode_text(text, kpm)
+        assert set(np.unique(got_i)) <= {-1.0, 1.0}
+        np.testing.assert_array_equal(got_i, np.asarray(want_i))
+        np.testing.assert_array_equal(got_t, np.asarray(want_t))
+
+
+def test_export_twdh_pytree_codes(tmp_path):
+    """TwDH's eval output is a pytree (long code + per-short-dim codes via
+    baked-in trans matrices); the export preserves structure and values at
+    two batch sizes."""
+    from cmh_tpu.models.twdh import TwDHMethod
+
+    cfg_model = config_from_dict(
+        {"model": {"clip_variant": "tiny", "long_dim": 32, "numclass": 4,
+                   "short_dims": [8, 16],
+                   "long_center": "/nonexistent", "short_center": "/nonexistent",
+                   "trans_matrix": "/nonexistent"}}).model
+    method = TwDHMethod.from_config(cfg_model, output_dim=8, train_num=32)
+    W = 12
+    image, text, kpm = _rand_batch(method, 2, W, 5)
+    variables = method.init_variables(
+        jax.random.PRNGKey(2),
+        {"image": image, "text": text, "key_padding_mask": kpm})
+
+    trans = {k: jnp.asarray(v) for k, v in method._trans.items()}
+    path = str(tmp_path / "twdh.cmh")
+    export_encoders(method, variables, path, max_words=W,
+                    method_state={"trans": trans})
+    enc = load_encoders(path)
+
+    for B, seed in ((2, 5), (4, 6)):
+        image, text, kpm = _rand_batch(method, B, W, seed)
+        want_i, want_t = _live_codes(method, variables, image, text, kpm,
+                                     trans=trans)
+        got_i = enc.encode_image(image)
+        got_t = enc.encode_text(text, kpm)
+        # structure: (long, {"8": short8, "16": short16})
+        long_i, shorts_i = got_i
+        assert long_i.shape == (B, 32)
+        assert sorted(shorts_i.keys()) == ["16", "8"]
+        assert shorts_i["8"].shape == (B, 8)
+        for got_leaf, want_leaf in zip(
+                jax.tree_util.tree_leaves(got_i) + jax.tree_util.tree_leaves(got_t),
+                jax.tree_util.tree_leaves(want_i) + jax.tree_util.tree_leaves(want_t)):
+            np.testing.assert_array_equal(got_leaf, np.asarray(want_leaf))
