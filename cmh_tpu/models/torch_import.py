@@ -278,18 +278,31 @@ def _torch_decoder_layer(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
     }
 
 
-def umoed_from_torch_state(
-    state_dict: Dict[str, Any], decoder_layers: int = 6,
-) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """Reference UMoED (fusion, non-MoE decoder) state_dict →
-    (params, model_state). The fused TokenHash is learned query slots →
-    torch TransformerDecoder → classifier (models/UMoED/hash/hash_moe.py:
-    22-60,102-111)."""
-    sd = {k: _np(v) for k, v in state_dict.items()}
-    backbone_sd = {
-        k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")
+def _torch_moe_decoder_layer(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """torch SoftMoEDecoderLayer → our moe decoder layer subtree. The
+    reference's expert weights are already batched (num_experts, in, out)
+    and phi is (in, n, p) (models/UMoED/hash/block/SoftMoe.py:34-37,137-143)
+    — identical layouts to our SoftMoE params, no transpose needed. Its
+    first FFN linear is named ``linear`` (block/transformer.py:224) where
+    the plain torch layer calls it ``linear1``."""
+    return {
+        "self_attn": _attention(sd, prefix + ".self_attn"),
+        "cross_attn": _attention(sd, prefix + ".multihead_attn"),
+        "linear1": _linear(sd, prefix + ".linear"),
+        "moe": {
+            "phi": sd[prefix + ".moe.phi"],
+            "expert_kernel": sd[prefix + ".moe.experts.weight"],
+            "expert_bias": sd[prefix + ".moe.experts.bias"],
+        },
+        "norm1": {"ln": _layernorm(sd, prefix + ".norm1")},
+        "norm2": {"ln": _layernorm(sd, prefix + ".norm2")},
+        "norm3": {"ln": _layernorm(sd, prefix + ".norm3")},
     }
-    pre = "hash.hash_module"
+
+
+def _umoed_head(sd: Dict[str, Any], pre: str, decoder_layers: int) -> Dict[str, Any]:
+    """One TokenHash head (slots + decoder stack + classifier); MoE layers
+    auto-detected from the presence of ``.moe.phi`` keys."""
     head: Dict[str, Any] = {
         "slots": sd[f"{pre}.decoder_learned_parameters"],
         "classifier": _linear(sd, f"{pre}.classifier"),
@@ -297,13 +310,34 @@ def umoed_from_torch_state(
     if f"{pre}.first_layer.weight" in sd:
         head["first_layer"] = _linear(sd, f"{pre}.first_layer")
     for i in range(decoder_layers):
-        head[f"layer_{i}"] = _torch_decoder_layer(
-            sd, f"{pre}.decoder.layers.{i}"
-        )
-    params = {
-        "backbone": params_from_state_dict(backbone_sd, infer_config(backbone_sd)),
-        "hash_module": head,
+        layer_pre = f"{pre}.decoder.layers.{i}"
+        if f"{layer_pre}.moe.phi" in sd:
+            head[f"layer_{i}"] = _torch_moe_decoder_layer(sd, layer_pre)
+        else:
+            head[f"layer_{i}"] = _torch_decoder_layer(sd, layer_pre)
+    return head
+
+
+def umoed_from_torch_state(
+    state_dict: Dict[str, Any], decoder_layers: int = 6,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference UMoED state_dict → (params, model_state). A TokenHash head
+    is learned query slots → torch TransformerDecoder (plain or Soft-MoE) →
+    classifier (models/UMoED/hash/hash_moe.py:22-60). ``fusion=True`` ships
+    one shared head (hash_moe.py:102-111); non-fusion ships img/txt heads
+    (hash_moe.py:105-111), both converted when present."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    backbone_sd = {
+        k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")
     }
+    params: Dict[str, Any] = {
+        "backbone": params_from_state_dict(backbone_sd, infer_config(backbone_sd)),
+    }
+    if "hash.hash_module.decoder_learned_parameters" in sd:
+        params["hash_module"] = _umoed_head(sd, "hash.hash_module", decoder_layers)
+    else:
+        params["hash_img"] = _umoed_head(sd, "hash.img_token_hash", decoder_layers)
+        params["hash_txt"] = _umoed_head(sd, "hash.txt_token_hash", decoder_layers)
     return params, {}
 
 

@@ -19,6 +19,8 @@ hash/block/SoftMoe.py,hash/block/transformer.py,distance/__init__.py}:
 
 Deviation (intended-behavior fix): in non-fusion mode the reference routes
 text through the image head (hash_moe.py:133-139); here text uses its own.
+``model.compat_nonfusion_txt_via_img: true`` restores the reference routing
+for bit-level parity runs.
 """
 
 from __future__ import annotations
@@ -224,6 +226,11 @@ class UMoEDModel(BaseHashModel):
     # memory. Default matches the reference; model.mask_padding: true
     # enables the masked variant.
     mask_padding: bool = False
+    # the reference's non-fusion encode_txt routes text through
+    # img_token_hash (hash_moe.py:130-138 — txt_token_hash is created but
+    # never used, a live reference bug). Default False = each modality uses
+    # its own head; set True for bit-level reference parity runs.
+    compat_nonfusion_txt_via_img: bool = False
 
     def setup(self):
         self.backbone = CLIP(self.clip_cfg)
@@ -250,7 +257,11 @@ class UMoEDModel(BaseHashModel):
         return self.hash_module if self.fusion else self.img_token_hash
 
     def _txt_head(self):
-        return self.hash_module if self.fusion else self.txt_token_hash
+        if self.fusion:
+            return self.hash_module
+        if self.compat_nonfusion_txt_via_img:
+            return self.img_token_hash
+        return self.txt_token_hash
 
     def _image_tokens(self, image):
         cls_token, seq_tokens, _ = self.backbone.encode_image(image)
@@ -435,6 +446,8 @@ class UMoEDMethod(Method):
             fusion=g("fusion", True),
             hash_func=hash_func,
             merge_func=g("merge_func", "mean"),
+            compat_nonfusion_txt_via_img=g("compat_nonfusion_txt_via_img",
+                                           False),
         )
         loss = umoed_loss_fn(
             set_dim=g("setDim", 64),

@@ -82,8 +82,32 @@ def hash_convert(hash_label: jax.Array) -> jax.Array:
     return pairs.reshape(hash_label.shape[0], -1)
 
 
+@jax.custom_vjp
 def bce_probs(probs: jax.Array, targets: jax.Array) -> jax.Array:
-    """torch.nn.BCELoss on probabilities, with torch's log clamp at -100."""
+    """torch.nn.BCELoss on probabilities.
+
+    Mirrors the torch primitive on BOTH passes: the forward clamps each log
+    at -100; the backward is ``(p - y) / clamp_min(p*(1-p), 1e-12)`` (aten
+    binary_cross_entropy_backward), NOT the separated ``y/p - (1-y)/(1-p)``
+    form. The custom backward matters beyond parity: when a softmax-pair
+    hash saturates to exactly 0/1 (TwDH's 32-bit short codes do), the
+    separated form autodiffs to ``0 * inf = NaN`` through the log clamp,
+    while torch's fused quotient stays finite.
+    """
     log_p = jnp.maximum(jnp.log(jnp.maximum(probs, 0.0)), -100.0)
     log_1mp = jnp.maximum(jnp.log(jnp.maximum(1.0 - probs, 0.0)), -100.0)
     return -jnp.mean(targets * log_p + (1.0 - targets) * log_1mp)
+
+
+def _bce_probs_fwd(probs, targets):
+    return bce_probs(probs, targets), (probs, targets)
+
+
+def _bce_probs_bwd(res, g):
+    probs, targets = res
+    denom = jnp.maximum(probs * (1.0 - probs), 1e-12)
+    grad_p = g * (probs - targets) / denom / probs.size
+    return grad_p, jnp.zeros_like(targets)
+
+
+bce_probs.defvjp(_bce_probs_fwd, _bce_probs_bwd)

@@ -1,0 +1,264 @@
+"""Measure the reference trainers' OWN chaotic noise floor.
+
+Runs the actual torch reference trainer twice from the same seed — baseline
+vs. a 1e-7 relative perturbation of the initial weights (about one fp32 ulp)
+— and records how fast the two *reference* runs diverge from each other:
+per-valid hash-code agreement and per-epoch mAP drift.
+
+This is the control experiment behind the graduated tolerances in
+``test_reference_e2e_parity.py``: if the reference torch trainer, compared
+against an ulp-perturbed copy of ITSELF, loses code agreement at the same
+rate our jax port does, the divergence is chaotic fp-noise amplification
+(MITH's ~200-magnitude InfoNCE exp/log terms, UMoED's SoftMoE dispatch
+softmax), not a seam bug. A seam bug shows up at step 0; chaos shows up as
+geometric decay from 1.0.
+
+Not a pytest test (two extra full reference runs per variant); run manually:
+
+    python tests/noise_floor_probe.py --out tests/artifacts/noise_floor.json
+
+The committed artifact at ``tests/artifacts/noise_floor.json`` is the
+measurement the tolerances cite.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import torch
+
+from test_reference_e2e_parity import (  # noqa: E402
+    EPOCHS,
+    make_mith_cfg_dict,
+    make_parity_data,
+    make_tiny_clip,
+    make_umoed_cfg_dict,
+    run_reference,
+)
+from ref_shims import load_reference  # noqa: E402
+
+
+def _perturb(rt, eps: float) -> None:
+    """Multiply every float parameter by (1 + eps) in place."""
+    with torch.no_grad():
+        for p in rt.model.parameters():
+            if p.is_floating_point():
+                p.mul_(1.0 + eps)
+
+
+def _install_step_jitter(rt, eps: float, ulp: bool = False,
+                         extra_tensors=()) -> None:
+    """Re-inject weight jitter after every optimizer step.
+
+    This is the honest control for cross-FRAMEWORK comparison: two correct
+    implementations differ by op-order rounding in every single step's
+    forward/backward, not by a one-time init offset (which decaying
+    dynamics like MITH's BN+sign pipeline can absorb — measured: a 1e-7
+    init-only perturbation leaves MITH bit-identical for 3 epochs).
+
+    ``ulp=True`` moves every weight exactly one ulp in a random direction
+    (a relative (1 ± 1e-7) multiply rounds straight back to p at the
+    half-ulp boundary); otherwise a ±eps uniform relative multiply models
+    noise that has already been amplified through the network depth."""
+    gen = torch.Generator().manual_seed(123)
+    opts = [rt.optimizer]
+    for name in ("optimizer_hyp", "optimizer2", "second_optimizer"):
+        if getattr(rt, name, None) is not None:
+            opts.append(getattr(rt, name))
+
+    def wrap(opt):
+        orig = opt.step
+
+        def noisy_step(*a, **k):
+            out = orig(*a, **k)
+            targets = list(rt.model.parameters())
+            targets += [getattr(rt.model, name) for name in extra_tensors]
+            with torch.no_grad():
+                for p in targets:
+                    if not p.is_floating_point():
+                        continue
+                    if ulp:
+                        direction = torch.where(
+                            torch.rand(p.shape, generator=gen) < 0.5,
+                            torch.full_like(p, float("-inf")),
+                            torch.full_like(p, float("inf")),
+                        )
+                        p.copy_(torch.nextafter(p, direction))
+                    else:
+                        noise = 2.0 * (torch.rand(p.shape, generator=gen)
+                                       - 0.5)
+                        p.mul_(1.0 + eps * noise)
+            return out
+
+        opt.step = noisy_step
+
+    for o in opts:
+        wrap(o)
+
+
+def _agreement(codes_a, codes_b):
+    """Per-valid [query, retrieval] ±1-code agreement between two runs."""
+    rows = []
+    for (qa, ra), (qb, rb) in zip(codes_a, codes_b):
+        rows.append([float((qa == qb).mean()), float((ra == rb).mean())])
+    return rows
+
+
+MODES = {
+    # one-shot (1+1e-7) init perturbation
+    "init": lambda rt, extra: _perturb(rt, 1e-7),
+    # exactly 1 ulp per weight per optimizer step
+    "step_ulp": lambda rt, extra: _install_step_jitter(
+        rt, 0.0, ulp=True, extra_tensors=extra),
+    # ±1e-5 relative per step — the scale of op-order noise after
+    # amplification through network depth (measured: ours-vs-ref weight
+    # divergence after epoch 1 sits at this order)
+    "step_1e-5": lambda rt, extra: _install_step_jitter(
+        rt, 1e-5, extra_tensors=extra),
+}
+
+# MITH's cross-run noise lives in its train-set-sized memory banks (plain
+# attributes, not parameters — measured: weight-only jitter at 1e-5/step
+# leaves MITH codes 99.99% identical), so the MITH control jitters them too.
+MITH_BANKS = ("img_buffer_cls", "txt_buffer_cls",
+              "img_buffer_tokens", "txt_buffer_tokens")
+
+
+def _posts(mode, extra=()):
+    return (("base", None),
+            ("perturbed", lambda rt: MODES[mode](rt, extra)))
+
+
+def _weight_divergence(sd_a, sd_b):
+    """Median / max relative parameter divergence between two state dicts."""
+    rels = []
+    for k in sd_a:
+        a, b = sd_a[k].float().numpy(), sd_b[k].float().numpy()
+        denom = np.abs(a) + 1e-12
+        rels.append((np.abs(a - b) / denom).ravel())
+    rels = np.concatenate(rels)
+    return {"median": float(np.median(rels)), "max": float(rels.max())}
+
+
+def _diverge(runs):
+    (rows_a, codes_a, rt_a), (rows_b, codes_b, rt_b) = runs
+    final_a = {k: v.detach().clone()
+               for k, v in rt_a.model.state_dict().items()}
+    final_b = {k: v.detach().clone()
+               for k, v in rt_b.model.state_dict().items()}
+    return {
+        "agreement": _agreement(codes_a, codes_b),
+        "map_diff_max": [
+            float(np.abs(np.asarray(ra) - np.asarray(rb)).max())
+            for ra, rb in zip(rows_a, rows_b)
+        ],
+        "final_weight_divergence": _weight_divergence(final_a, final_b),
+    }
+
+
+def probe_umoed_moe(data_dir, clip_ckpt, scratch, mode):
+    from cmh_tpu.tools.ref_compat import cuda_noop
+
+    runs = []
+    for tag, post in _posts(mode):
+        holder = []
+
+        def capture_and_post(rt, post=post):
+            holder.append(rt)
+            if post is not None:
+                post(rt)
+
+        cfg = make_umoed_cfg_dict(
+            data_dir, clip_ckpt,
+            os.path.join(scratch, f"umoed_{mode}_{tag}"), variant="moe")
+        os.makedirs(cfg["run"]["save_dir"], exist_ok=True)
+        with cuda_noop():
+            _, rows, codes = run_reference(
+                cfg, runner_arch="UMoEDTrainer", post_build=capture_and_post,
+                code_pick=lambda o: (o[0], o[1]),
+            )
+        runs.append((rows, codes, holder[0]))
+    return _diverge(runs)
+
+
+def probe_mith(data_dir, clip_ckpt64, scratch, mode):
+    ref_registry = load_reference()
+    RefMITH = ref_registry.get_model_class("MITH")
+
+    class ConstructibleMITH(RefMITH):
+        # reference MITH.py:34 unpack bug — same fix the E2E test applies
+        def load_backbone(self, clipPath, return_patches=False):
+            o = super().load_backbone(clipPath, return_patches)
+            return (o[0], o[2]) if len(o) == 3 else o
+
+    mapping = ref_registry.mapping["model_name_mapping"]
+    mapping["MITH"] = ConstructibleMITH
+    try:
+        runs = []
+        for tag, post in _posts(mode, MITH_BANKS):
+            holder = []
+
+            def capture_and_post(rt, post=post):
+                holder.append(rt)
+                if post is not None:
+                    post(rt)
+
+            cfg = make_mith_cfg_dict(
+                data_dir, clip_ckpt64,
+                os.path.join(scratch, f"mith_{mode}_{tag}"))
+            os.makedirs(cfg["run"]["save_dir"], exist_ok=True)
+            _, rows, codes = run_reference(cfg, runner_arch="MITHTrainer",
+                                           post_build=capture_and_post)
+            runs.append((rows, codes, holder[0]))
+    finally:
+        mapping["MITH"] = RefMITH
+    return _diverge(runs)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="tests/artifacts/noise_floor.json")
+    args = ap.parse_args()
+
+    scratch = tempfile.mkdtemp(prefix="noise_floor_")
+    data_dir = make_parity_data(os.path.join(scratch, "data"))
+    os.makedirs(os.path.join(scratch, "ckpt"), exist_ok=True)
+    ckpt32 = make_tiny_clip(os.path.join(scratch, "ckpt", "clip32.pt"))
+    ckpt64 = make_tiny_clip(os.path.join(scratch, "ckpt", "clip64.pt"),
+                            embed_dim=64, seed=4)
+
+    result = {
+        "epochs": EPOCHS,
+        "note": "reference-vs-reference divergence; agreement rows are "
+                "[query, retrieval] per valid (valid 0 = init, before any "
+                "training). Modes: 'init' = one-shot (1+1e-7) init "
+                "perturbation; 'step_ulp' = every weight moved exactly one "
+                "ulp per optimizer step; 'step_1e-5' = ±1e-5 relative "
+                "weight jitter per step (op-order noise after depth "
+                "amplification).",
+        "variants": {},
+    }
+    for mode in MODES:
+        result["variants"][f"umoed_moe_{mode}"] = probe_umoed_moe(
+            data_dir, ckpt32, scratch, mode)
+        result["variants"][f"mith_{mode}"] = probe_mith(
+            data_dir, ckpt64, scratch, mode)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
