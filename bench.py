@@ -227,10 +227,10 @@ for b in iter(tr.train_loader):
 n = 6
 stacked = {k: jnp.stack([batches[i % len(batches)][k] for i in range(n)])
            for k in batches[0]}
-tr.state, losses = tr._train_scan(tr.state, stacked)   # compile
+tr.state, (losses, _) = tr._train_scan(tr.state, stacked)   # compile
 float(losses[-1])
 t0 = time.perf_counter()
-tr.state, losses = tr._train_scan(tr.state, stacked)
+tr.state, (losses, _) = tr._train_scan(tr.state, stacked)
 # host fetch of a value depending on every step forces completion
 float(jnp.sum(losses))
 dt = (time.perf_counter() - t0) / n

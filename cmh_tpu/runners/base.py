@@ -337,10 +337,34 @@ class BaseTrainer:
             over — trap #5: HBM constants blow the remote-compile request).
             """
             def body(s, b):
-                s2, loss, _ = train_step(s, b)
-                return s2, loss
+                s2, loss, loss_dict = train_step(s, b)
+                return s2, (loss, loss_dict)
 
             return jax.lax.scan(body, state, stacked_batch)
+
+        def encode_scan(params, model_state, buffers, stacked_batch):
+            """Chained eval code generation: N loader batches encoded,
+            binarized and scattered into the device code buffers in ONE
+            dispatch (per-batch encode calls pay the ~40ms relay round-trip
+            each on the tunneled backend — trap #3). Matches base
+            ``get_code``'s encode → make_hash_code → masked scatter exactly;
+            batches arrive stacked as an argument (trap #5)."""
+            make = method.make_hash_code
+
+            def body(bufs, b):
+                hashes = encode_step(params, model_state, b)
+
+                def upd(buf, h):
+                    code = make(h).astype(buf.dtype)
+                    safe = jnp.where(
+                        b["valid"].astype(bool), b["index"], buf.shape[0]
+                    )
+                    return buf.at[safe].set(code, mode="drop")
+
+                return jax.tree_util.tree_map(upd, bufs, hashes), None
+
+            out, _ = jax.lax.scan(body, buffers, stacked_batch)
+            return out
 
         def encode_step(params, model_state, batch):
             variables = {"params": params, **model_state}
@@ -386,6 +410,12 @@ class BaseTrainer:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
             self._encode_step = jax.jit(encode_step)
         self._train_scan = jax.jit(train_scan, donate_argnums=(0,))
+        self._encode_scan = jax.jit(encode_scan, donate_argnums=(2,))
+        # chain N steps per dispatch on the tunneled single-chip backend
+        # (cfg.run.scan_steps); mesh runs keep per-step sharded dispatch
+        self.scan_steps = (
+            int(self.cfg.run.get("scan_steps", 1)) if self.mesh is None else 1
+        )
 
     def _put_batch(self, batch):
         """Host batch → device(s): sharded over the dp axis under a mesh."""
@@ -422,12 +452,64 @@ class BaseTrainer:
             f"mAP: {self.max_mapi2t}, T-I: {self.best_epoch_t}, mAP: {self.max_mapt2i}"
         )
 
+    def _stack_host_batches(self, batches):
+        """N same-shape loader batches → one stacked host batch with a
+        leading steps axis (the eval loader pads ragged tails, so shapes
+        always agree)."""
+        return {
+            k: np.stack([b[k] for b in batches]) for k in batches[0]
+        }
+
+    def _train_scan_chunk(self, batches, epoch, all_loss, times):
+        """Dispatch ``len(batches)`` train steps as one ``_train_scan``
+        call; returns updated (all_loss, times)."""
+        n = len(batches)
+        stacked = self._put_batch(self._stack_host_batches(batches))
+        before = self.global_step
+        self.state, (losses, loss_dicts) = self._train_scan(self.state, stacked)
+        self.global_step += n
+        times += n
+        chunk_loss = losses.sum()
+        all_loss = chunk_loss if all_loss is None else all_loss + chunk_loss
+        if before // self.display_step != self.global_step // self.display_step:
+            self.print_loss_dict(
+                jax.tree_util.tree_map(lambda x: float(x[-1]), loss_dicts),
+                bits=self.output_dim, epoch=epoch, times=times,
+            )
+        return all_loss, times
+
     def train_epoch(self, epoch: int):
         self.logger.info(">>>>>> epochs: %d/%d" % (epoch, self.epochs))
         all_loss = None  # device scalar — fetching per step would stall the
         times = 0        # pipeline on a ~40ms host sync each iteration
         t0 = time.time()
         examples = 0
+        if self.scan_steps > 1 and not self.profile_dir:
+            # chunked device-side stepping: one dispatch per scan_steps
+            # steps (proven ≡ per-step in tests/test_train_scan.py)
+            buf = []
+            for batch in self.train_loader:
+                examples += int(batch["valid"].sum())
+                buf.append(batch)
+                if len(buf) == self.scan_steps:
+                    all_loss, times = self._train_scan_chunk(
+                        buf, epoch, all_loss, times
+                    )
+                    buf = []
+            if buf:
+                all_loss, times = self._train_scan_chunk(
+                    buf, epoch, all_loss, times
+                )
+            epoch_loss = (
+                float(all_loss) / max(times, 1) if all_loss is not None else 0.0
+            )
+            dt = time.time() - t0
+            self.logger.info(
+                f">>>>>> [{epoch}/{self.epochs}] loss: {epoch_loss}, "
+                f"lr: {self._current_lr_str()}, "
+                f"throughput: {examples / max(dt, 1e-9):.1f} pairs/s"
+            )
+            return
         for batch in self.train_loader:
             self.global_step += 1
             times += 1
@@ -506,12 +588,35 @@ class BaseTrainer:
         k = self.method.eval_code_dims()
         img_buffer = jnp.zeros((length, k), dtype=jnp.float32)
         txt_buffer = jnp.zeros((length, k), dtype=jnp.float32)
+        # chunked path: only when the generic encode applies (a subclass
+        # overriding generate_hash would be silently bypassed by the scan)
+        use_scan = (
+            self.scan_steps > 1
+            and type(self).generate_hash is BaseTrainer.generate_hash
+        )
+        buf = []
         for batch in data_loader:
+            if use_scan:
+                buf.append(batch)
+                if len(buf) == self.scan_steps:
+                    img_buffer, txt_buffer = self._encode_scan(
+                        self.state.params, self.state.model_state,
+                        (img_buffer, txt_buffer),
+                        self._put_batch(self._stack_host_batches(buf)),
+                    )
+                    buf = []
+                continue
             device_batch = self._put_batch(batch)
             img_hash, txt_hash = self.generate_hash(device_batch)
             img_buffer, txt_buffer = self._scatter_codes(
                 (img_buffer, txt_buffer), (img_hash, txt_hash),
                 batch["index"], batch["valid"],
+            )
+        if buf:
+            img_buffer, txt_buffer = self._encode_scan(
+                self.state.params, self.state.model_state,
+                (img_buffer, txt_buffer),
+                self._put_batch(self._stack_host_batches(buf)),
             )
         return img_buffer, txt_buffer
 

@@ -140,17 +140,17 @@ def main(argv=None):
         k: jnp.stack([batches[i % len(batches)][k] for i in range(args.steps)])
         for k in batches[0]
     }
-    tr.state, losses = tr._train_scan(tr.state, stacked)   # compile + warm
+    tr.state, (losses, _) = tr._train_scan(tr.state, stacked)   # compile + warm
     float(losses[-1])
     t0 = time.perf_counter()
-    tr.state, losses = tr._train_scan(tr.state, stacked)
+    tr.state, (losses, _) = tr._train_scan(tr.state, stacked)
     float(jnp.sum(losses))
     dt = (time.perf_counter() - t0) / args.steps
     print(f"train step: {dt * 1e3:.2f} ms  ({args.batch / dt:.0f} pairs/s)")
 
     outdir = args.outdir or tempfile.mkdtemp(prefix="cmh_xplane_")
     with jax.profiler.trace(outdir):
-        tr.state, losses = tr._train_scan(tr.state, stacked)
+        tr.state, (losses, _) = tr._train_scan(tr.state, stacked)
         float(jnp.sum(losses))
     _aggregate(outdir, args.steps)
 

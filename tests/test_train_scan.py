@@ -37,7 +37,7 @@ def test_train_scan_matches_per_step(tmp_path):
     # (both loaders draw shuffle order from the shared numpy global RNG, so
     # re-iterating tr_b's loader would yield a different batch order)
     stacked = _stack(batches, n)
-    tr_b.state, losses_b = tr_b._train_scan(tr_b.state, stacked)
+    tr_b.state, (losses_b, _) = tr_b._train_scan(tr_b.state, stacked)
 
     np.testing.assert_allclose(
         np.asarray(losses_b), np.asarray(losses_a), rtol=1e-5, atol=1e-6
@@ -70,3 +70,33 @@ def test_train_scan_with_method_state(tmp_path):
     ):
         np.testing.assert_allclose(np.asarray(ma), np.asarray(mb),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_scan_steps_epoch_and_eval_match_per_step(tmp_path):
+    """cfg.run.scan_steps chunks train_epoch AND get_code into device-side
+    scans (one dispatch per chunk on the tunneled backend). A scan_steps=3
+    trainer over 5 batches (one full chunk + a ragged tail) must produce the
+    same params and eval code buffers as the per-step trainer."""
+    run = {"shuffle": False, "train_num": 80, "query_num": 16}
+    tr_a = tiny_trainer(tmp_path / "a", "DCMHT", "DCMHTTrainer",
+                        run_extra=dict(run))
+    tr_b = tiny_trainer(tmp_path / "b", "DCMHT", "DCMHTTrainer",
+                        run_extra=dict(run, scan_steps=3))
+    assert tr_a.scan_steps == 1 and tr_b.scan_steps == 3
+    assert len(tr_a.train_loader) == 5  # chunk of 3 + tail of 2
+
+    tr_a.train_epoch(0)
+    tr_b.train_epoch(0)
+    assert tr_a.global_step == tr_b.global_step == 5
+
+    for pa, pb in zip(jax.tree_util.tree_leaves(tr_a.state.params),
+                      jax.tree_util.tree_leaves(tr_b.state.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
+
+    qa_i, qa_t = tr_a.get_code(tr_a.query_loader, tr_a.query_num)
+    qb_i, qb_t = tr_b.get_code(tr_b.query_loader, tr_b.query_num)
+    np.testing.assert_allclose(np.asarray(qa_i), np.asarray(qb_i),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(qa_t), np.asarray(qb_t),
+                               rtol=1e-5, atol=1e-6)
