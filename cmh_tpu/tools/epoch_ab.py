@@ -53,7 +53,7 @@ def make_dataset(root: str, n_items: int, n_classes: int, res: int) -> str:
 
 
 def cfg_dict(data_dir, clip_path, save_dir, *, res, train_num, query_num,
-             batch, epochs, clip_variant=None):
+             batch, epochs, clip_variant=None, scan_steps=1):
     os.makedirs(save_dir, exist_ok=True)
     model = {"arch": "DCMHT", "clip_path": clip_path, "hash_func": "softmax"}
     if clip_variant:
@@ -72,7 +72,8 @@ def cfg_dict(data_dir, clip_path, save_dir, *, res, train_num, query_num,
                 "train_num": train_num, "query_num": query_num,
                 "epochs": epochs, "seed": 1814, "shuffle": False,
                 "num_workers": 0, "pin_memory": False, "device": "cpu",
-                "display_step": 10_000, "top_k": None},
+                "display_step": 10_000, "top_k": None,
+                "scan_steps": scan_steps},
     }
 
 
@@ -133,18 +134,45 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", choices=["tiny", "full"], default="tiny",
                     help="tiny: 32px/2-layer CLIP (CPU-friendly); full: "
-                         "224px ViT-B/32 (reference epoch takes minutes)")
+                         "224px ViT-B/32, 1000-item epoch at batch 100 "
+                         "(one reference epoch is tens of torch-CPU "
+                         "minutes — cache it with --ref-artifact)")
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--train-num", type=int, default=None)
+    ap.add_argument("--query-num", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--scan-steps", type=int, default=None,
+                    help="our side: train/eval steps chained per dispatch "
+                         "(default 25 at full scale — keeps the tunnel's "
+                         "~40ms relay dispatch under 10%% of epoch time)")
+    ap.add_argument("--ref-artifact", default=None,
+                    help="JSON cache for the reference timing: loaded if "
+                         "it exists (params must match), written after a "
+                         "fresh reference run otherwise")
+    ap.add_argument("--ref-only", action="store_true",
+                    help="measure/cache the reference side and exit without "
+                         "initializing a JAX backend (lets the torch-CPU "
+                         "artifact be produced while the TPU tunnel is down)")
     args = ap.parse_args()
 
     root = tempfile.mkdtemp(prefix="epoch_ab_")
     if args.scale == "tiny":
         res, n_items, train_num, query_num, batch = 32, 600, 200, 100, 25
     else:
-        # full ViT-B/32: keep counts small — one reference epoch on the
-        # torch-CPU side is minutes even at this size
-        res, n_items, train_num, query_num, batch = 224, 200, 50, 50, 25
+        # the VERDICT r2 protocol: a >=1000-item epoch at batch >=100 so
+        # per-step dispatch overhead cannot flatter our side
+        res, n_items, train_num, query_num, batch = 224, 1500, 1000, 500, 100
+    if args.train_num is not None:
+        train_num = args.train_num
+    if args.query_num is not None:
+        query_num = args.query_num
+    if args.batch is not None:
+        batch = args.batch
+    n_items = max(n_items, train_num + query_num)
+    scan_steps = args.scan_steps
+    if scan_steps is None:
+        scan_steps = 25 if args.scale == "full" else 1
     make_dataset(root, n_items, 4, res)
 
     # shared tiny torch CLIP checkpoint (both sides load it)
@@ -173,14 +201,51 @@ def main():
 
     common = dict(res=res, train_num=train_num, query_num=query_num,
                   batch=batch, epochs=args.epochs)
+    artifact_key = dict(scale=args.scale, **common)
     ref_times = None
-    if not args.skip_reference:
+    ref_source = None
+    if args.ref_artifact and os.path.exists(args.ref_artifact):
+        with open(args.ref_artifact) as f:
+            cached = json.load(f)
+        assert cached["params"] == artifact_key, (
+            f"cached reference artifact measured {cached['params']}, "
+            f"this invocation asks for {artifact_key} — delete or re-point "
+            f"--ref-artifact"
+        )
+        ref_times = cached["ref_epoch_times_s"]
+        ref_source = "artifact"
+    elif not args.skip_reference:
+        import torch as _torch
+
+        t_ref0 = time.perf_counter()
         ref_times = time_reference(
             cfg_dict(root, clip_path, os.path.join(root, "ref"), **common),
             args.epochs,
         )
+        ref_source = "measured"
+        if args.ref_artifact:
+            with open(args.ref_artifact, "w") as f:
+                json.dump({
+                    "params": artifact_key,
+                    "ref_epoch_times_s": [round(float(t), 3) for t in ref_times],
+                    "torch_threads": _torch.get_num_threads(),
+                    "total_wall_s": round(time.perf_counter() - t_ref0, 1),
+                    "note": "torch reference trainer (CPU) epoch wall times, "
+                            "train_epoch + valid per epoch, deterministic "
+                            "transforms, same on-disk synthetic dataset as "
+                            "our side",
+                }, f, indent=1)
+    if args.ref_only:
+        print(json.dumps({
+            "scale": args.scale, "ref_source": ref_source,
+            "ref_epoch_s": ref_times and round(float(np.median(ref_times)), 3),
+            "ref_epoch_times_s": ref_times,
+        }))
+        return
+
     our_times = time_ours(
-        cfg_dict(root, clip_path, os.path.join(root, "ours"), **common),
+        cfg_dict(root, clip_path, os.path.join(root, "ours"), **common,
+                 scan_steps=scan_steps),
         args.epochs,
     )
 
@@ -190,7 +255,10 @@ def main():
         "scale": args.scale,
         "train_num": train_num,
         "query_num": query_num,
+        "batch": batch,
+        "scan_steps": scan_steps,
         "backend_ours": jax.default_backend(),
+        "ref_source": ref_source,
         "ref_epoch_s": ref_times and round(float(np.median(ref_times)), 3),
         "ours_epoch_s": round(float(np.median(our_times)), 3),
         "speedup": ref_times and round(
