@@ -179,20 +179,36 @@ def calc_map_k_4dir_auto(
     XLA bucketed path elsewhere or for long codes."""
     bits = int(jnp.asarray(q_img).shape[1])
     # the axon relay registers its platform as "axon", not "tpu"
-    if jax.default_backend() in ("tpu", "axon") and bits + 1 <= 256:
+    if jax.default_backend() in ("tpu", "axon") and bits + 1 <= 1023:
         from .map_pallas import calc_map_k_4dir_pallas
 
         # keep the lane footprint (tq · (bits+2)) roughly constant so VMEM
         # tiles stay the size tuned at 64 bits; >126-bit codes pack uint16,
-        # so halve the query chunk to keep the packed HBM matrix bounded
-        tq = 128 if bits <= 64 else (64 if bits <= 126 else 32)
-        chunk = 1024 if bits <= 126 else 512
+        # so halve the query chunk to keep the packed HBM matrix bounded.
+        # >255-bit codes use the kernel's f32 wide path with small tiles
+        # (TwDH long codes — previously the chunked-argsort route).
+        if bits <= 255:
+            tq = 128 if bits <= 64 else (64 if bits <= 126 else 32)
+            chunk = 1024 if bits <= 126 else 512
+            tn = 128
+        else:
+            tq, tn, chunk = 8, 64, 256
         return calc_map_k_4dir_pallas(
             q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels, k,
-            chunk=chunk, tq=tq, tn=128,
+            chunk=chunk, tq=tq, tn=tn,
         )
-    return calc_map_k_4dir(
-        q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels, k
+    if bits <= MAX_BUCKETED_BITS:
+        return calc_map_k_4dir(
+            q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels, k
+        )
+    # wide codes off-TPU: four chunked-argsort passes (metrics.calc_map_k
+    # routes >256-bit codes there)
+    from .metrics import calc_map_k
+
+    return tuple(
+        calc_map_k(q, r, query_labels, retrieval_labels, k)
+        for q, r in ((q_img, r_txt), (q_txt, r_img),
+                     (q_img, r_img), (q_txt, r_txt))
     )
 
 

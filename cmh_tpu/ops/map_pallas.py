@@ -59,31 +59,39 @@ def _lane_layout(bits: int, tq: int):
     return _round_up(v, step)
 
 
-def _consts(tq: int, tn: int, vp: int):
-    """Host-built kernel constants (hoisted out of the grid loop)."""
+def _consts(tq: int, tn: int, vp: int, wide: bool = False):
+    """Host-built kernel constants (hoisted out of the grid loop).
+
+    ``wide`` switches the replication operands to f32: bucket distances ride
+    the erep matmul as exact integers, which bf16 only guarantees up to 256
+    — codes over 255 bits need the f32 MXU path (exact for these counts).
+    """
     lanes = tq * vp
     q_of_lane = np.arange(lanes) // vp
     v_of_lane = np.arange(lanes) % vp
     erep = (q_of_lane[None, :] == np.arange(tq)[:, None])          # (TQ, L)
     vrow = v_of_lane[None, :].astype(np.float32)                   # (1, L)
     tril = (np.arange(tn)[None, :] <= np.arange(tn)[:, None])      # (TN, TN)
+    rep_t = jnp.float32 if wide else jnp.bfloat16
     return (
-        jnp.asarray(erep, jnp.bfloat16),
+        jnp.asarray(erep, rep_t),
         jnp.asarray(vrow, jnp.float32),
         jnp.asarray(tril, jnp.bfloat16),
     )
 
 
-def _split_packed(d2):
-    """(TN, TQ) uint8/uint16 ``2·d + g`` → bf16 distance, bf16 relevance."""
+def _split_packed(d2, wide: bool = False):
+    """(TN, TQ) uint8/uint16 ``2·d + g`` → distance, relevance (bf16, or
+    f32 on the wide path where distances exceed bf16's exact-int range)."""
     x = d2.astype(jnp.int32)
-    d = jax.lax.shift_right_logical(x, 1).astype(jnp.bfloat16)
-    g = jnp.bitwise_and(x, 1).astype(jnp.bfloat16)
+    rep_t = jnp.float32 if wide else jnp.bfloat16
+    d = jax.lax.shift_right_logical(x, 1).astype(rep_t)
+    g = jnp.bitwise_and(x, 1).astype(rep_t)
     return d, g
 
 
 def _hist_kernel(d2_ref, erep_ref, vrow_ref, hist_ref, rhist_ref,
-                 *, tq, tn, vp):
+                 *, tq, tn, vp, wide=False):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -91,7 +99,7 @@ def _hist_kernel(d2_ref, erep_ref, vrow_ref, hist_ref, rhist_ref,
         hist_ref[...] = jnp.zeros_like(hist_ref)
         rhist_ref[...] = jnp.zeros_like(rhist_ref)
 
-    d, g = _split_packed(d2_ref[0])
+    d, g = _split_packed(d2_ref[0], wide)
     erep = erep_ref[:]
     drep = jnp.dot(d, erep, preferred_element_type=jnp.float32)
     grep = jnp.dot(g, erep, preferred_element_type=jnp.float32)
@@ -105,7 +113,8 @@ def _hist_kernel(d2_ref, erep_ref, vrow_ref, hist_ref, rhist_ref,
 
 
 def _ap_kernel(d2_ref, less_ref, lessr_ref, total_ref, erep_ref,
-               vrow_ref, tril_ref, ap_ref, eq_ref, eqr_ref, *, tq, tn, vp):
+               vrow_ref, tril_ref, ap_ref, eq_ref, eqr_ref,
+               *, tq, tn, vp, wide=False):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -114,7 +123,7 @@ def _ap_kernel(d2_ref, less_ref, lessr_ref, total_ref, erep_ref,
         eq_ref[:] = jnp.zeros_like(eq_ref)
         eqr_ref[:] = jnp.zeros_like(eqr_ref)
 
-    d, g = _split_packed(d2_ref[0])
+    d, g = _split_packed(d2_ref[0], wide)
     erep = erep_ref[:]
     drep = jnp.dot(d, erep, preferred_element_type=jnp.float32)
     grep = jnp.dot(g, erep, preferred_element_type=jnp.float32)
@@ -154,11 +163,12 @@ def _map_counting_pallas(
 ) -> jax.Array:
     n_pad, q_pad = d2T.shape
     assert n_pad % tn == 0 and q_pad % tq == 0
+    wide = bits + 1 > 256
     vp = _lane_layout(bits, tq)
     q_tiles = q_pad // tq
     grid = (q_tiles, n_pad // tn)
     lanes = tq * vp
-    erep, vrow, tril = _consts(tq, tn, vp)
+    erep, vrow, tril = _consts(tq, tn, vp, wide)
 
     # Mosaic wants the last block dim 128-divisible or equal to the array
     # dim — making the query tile the (full) minor axis satisfies the latter
@@ -174,7 +184,7 @@ def _map_counting_pallas(
                             memory_space=pltpu.VMEM)
 
     hist, rhist = pl.pallas_call(
-        functools.partial(_hist_kernel, tq=tq, tn=tn, vp=vp),
+        functools.partial(_hist_kernel, tq=tq, tn=tn, vp=vp, wide=wide),
         out_shape=(
             jax.ShapeDtypeStruct((q_tiles, 1, lanes), jnp.float32),
             jax.ShapeDtypeStruct((q_tiles, 1, lanes), jnp.float32),
@@ -196,7 +206,7 @@ def _map_counting_pallas(
     total_rep = jnp.broadcast_to(total[:, None], (q_pad, vp))
 
     ap = pl.pallas_call(
-        functools.partial(_ap_kernel, tq=tq, tn=tn, vp=vp),
+        functools.partial(_ap_kernel, tq=tq, tn=tn, vp=vp, wide=wide),
         out_shape=jax.ShapeDtypeStruct((q_tiles, 1, lanes), jnp.float32),
         grid=grid,
         in_specs=[
@@ -258,10 +268,15 @@ def calc_map_k_4dir_pallas(
     ql = jnp.asarray(query_labels, jnp.float32)
     rl = jnp.asarray(retrieval_labels, jnp.float32)
     bits = int(q_img.shape[1])
-    # bucket distances ride bf16 through the in-kernel MXU replication
-    # matmul — integers are exact in bf16 only up to 256, and the pad
-    # sentinel lives at distance bits+1
-    assert bits + 1 <= 256, "counting-rank Pallas kernel needs bits <= 255"
+    # ≤255 bits: bucket distances ride the erep matmul in bf16 (exact ints
+    # up to 256). Wider codes switch the replication operands to f32
+    # (_consts/_split_packed wide path); the VP=bits+2 lane groups grow
+    # linearly, so callers must shrink tq/tn to keep tiles inside VMEM —
+    # 1022 bits at tq=8/tn=64 is the tuned ceiling (~6MB of live tile).
+    assert bits + 1 <= 1023, (
+        "counting-rank Pallas kernel supports codes up to 1022 bits; "
+        "longer codes take the chunked-argsort route"
+    )
 
     num_query = q_img.shape[0]
     n = r_img.shape[0]

@@ -109,14 +109,16 @@ class TwDHTrainer(BaseTrainer):
 
     def valid_each(self, epoch, query_img, query_txt, retrieval_img,
                    retrieval_txt, k=None, save_dir=None, short=None):
-        mapi2t = self.calc_map_k(query_img, retrieval_txt, self.query_labels,
-                                 self.retrieval_labels, k)
-        mapt2i = self.calc_map_k(query_txt, retrieval_img, self.query_labels,
-                                 self.retrieval_labels, k)
-        mapi2i = self.calc_map_k(query_img, retrieval_img, self.query_labels,
-                                 self.retrieval_labels, k)
-        mapt2t = self.calc_map_k(query_txt, retrieval_txt, self.query_labels,
-                                 self.retrieval_labels, k)
+        # fused 4-direction dispatch (shares the ground-truth matrix and, on
+        # TPU, the counting-rank Pallas kernel — incl. its f32 wide path for
+        # the >255-bit long codes), vs the reference's four independent
+        # calc_map_k calls (runners/TwDH/runner.py:174-181)
+        from ..ops.map_bucketed import calc_map_k_4dir_auto
+
+        mapi2t, mapt2i, mapi2i, mapt2t = calc_map_k_4dir_auto(
+            query_img, query_txt, retrieval_img, retrieval_txt,
+            self.query_labels, self.retrieval_labels, k
+        )
         if short is None:
             if self.max_mapi2t < mapi2t:
                 self.best_epoch_i = epoch

@@ -118,3 +118,89 @@ def test_pallas_4dir_long_codes_uint16():
         qi, qt, ri, rt, ql, rl, None, chunk=16, tq=8, tn=64, interpret=True
     )
     np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("bits,k", [(300, None), (512, 40)])
+def test_pallas_4dir_wide_codes_f32_path(bits, k):
+    """Codes over 255 bits switch the in-kernel replication matmul to f32
+    (bf16 holds exact ints only to 256) — TwDH's 512-bit long codes now take
+    the counting-rank kernel instead of the chunked argsort. Exact vs the
+    XLA bucketed path, including a top-k cap and uneven tails."""
+    from cmh_tpu.ops.map_pallas import calc_map_k_4dir_pallas
+
+    rng = np.random.RandomState(bits)
+    nq, nr, classes = 13, 149, 4
+    qi = rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+    qt = rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+    ri = rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+    rt = rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+    ql = (rng.rand(nq, classes) > 0.5).astype(np.float32)
+    ql[:, 0] = 1
+    rl = (rng.rand(nr, classes) > 0.5).astype(np.float32)
+    rl[: nr // 3, 0] = 1
+
+    from cmh_tpu.ops.metrics import calc_map_k_numpy
+
+    want = [calc_map_k_numpy(q, r, ql, rl, k)
+            for q, r in ((qi, rt), (qt, ri), (qi, ri), (qt, rt))]
+    got = calc_map_k_4dir_pallas(
+        qi, qt, ri, rt, ql, rl, k, chunk=8, tq=8, tn=64, interpret=True
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
+
+
+def test_pallas_4dir_wide_codes_heavy_ties():
+    """Wide path with few distinct distances (many ties) — the stable-tie
+    counting math must stay exact when whole buckets are saturated."""
+    from cmh_tpu.ops.map_pallas import calc_map_k_4dir_pallas
+
+    rng = np.random.RandomState(3)
+    nq, nr, bits, classes = 9, 77, 260, 3
+    base = rng.choice([-1.0, 1.0], size=bits).astype(np.float32)
+    # gallery items differ from `base` in only a handful of positions →
+    # distances concentrate in a few buckets
+    def near(n):
+        out = np.tile(base, (n, 1))
+        for i in range(n):
+            flips = rng.choice(bits, size=rng.randint(0, 4), replace=False)
+            out[i, flips] *= -1
+        return out
+
+    qi, qt, ri, rt = near(nq), near(nq), near(nr), near(nr)
+    ql = (rng.rand(nq, classes) > 0.4).astype(np.float32)
+    ql[:, 0] = 1
+    rl = (rng.rand(nr, classes) > 0.4).astype(np.float32)
+    rl[: nr // 2, 0] = 1
+
+    from cmh_tpu.ops.metrics import calc_map_k_numpy
+
+    want = [calc_map_k_numpy(q, r, ql, rl, None)
+            for q, r in ((qi, rt), (qt, ri), (qi, ri), (qt, rt))]
+    got = calc_map_k_4dir_pallas(
+        qi, qt, ri, rt, ql, rl, None, chunk=16, tq=8, tn=64, interpret=True
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
+
+
+def test_4dir_auto_wide_cpu_fallback():
+    """Off-TPU, >256-bit codes must route to the chunked-argsort path (the
+    XLA bucketed oracle caps at 256) — this is TwDH's long-code eval path
+    on the CPU test mesh."""
+    from cmh_tpu.ops.map_bucketed import calc_map_k_4dir_auto
+    from cmh_tpu.ops.metrics import calc_map_k
+
+    rng = np.random.RandomState(11)
+    nq, nr, bits, classes = 7, 41, 300, 3
+    qi = rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+    qt = rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+    ri = rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+    rt = rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+    ql = (rng.rand(nq, classes) > 0.5).astype(np.float32)
+    ql[:, 0] = 1
+    rl = (rng.rand(nr, classes) > 0.5).astype(np.float32)
+    rl[: nr // 2, 0] = 1
+
+    got = calc_map_k_4dir_auto(qi, qt, ri, rt, ql, rl, None)
+    want = [calc_map_k(q, r, ql, rl, None)
+            for q, r in ((qi, rt), (qt, ri), (qi, ri), (qt, rt))]
+    np.testing.assert_allclose(got, want, atol=1e-6)
