@@ -666,23 +666,14 @@ class BaseTrainer:
 
     def calc_map_4dir(self, query_img, query_txt, retrieval_img, retrieval_txt,
                       k: Optional[int]):
-        """Four-direction mAP; fused counting-rank kernel when applicable."""
-        if query_img.shape[1] <= 256:
-            from ..ops.map_bucketed import calc_map_k_4dir_auto as calc_map_k_4dir
+        """Four-direction mAP through the fused dispatcher (shares the
+        ground-truth matrix; counting-rank Pallas kernel on TPU, incl. its
+        f32 wide path for 256–1022-bit codes; argsort fallback beyond)."""
+        from ..ops.map_bucketed import calc_map_k_4dir_auto
 
-            return calc_map_k_4dir(
-                query_img, query_txt, retrieval_img, retrieval_txt,
-                self.query_labels, self.retrieval_labels, k,
-            )
-        return (
-            self.calc_map_k(query_img, retrieval_txt, self.query_labels,
-                            self.retrieval_labels, k),
-            self.calc_map_k(query_txt, retrieval_img, self.query_labels,
-                            self.retrieval_labels, k),
-            self.calc_map_k(query_img, retrieval_img, self.query_labels,
-                            self.retrieval_labels, k),
-            self.calc_map_k(query_txt, retrieval_txt, self.query_labels,
-                            self.retrieval_labels, k),
+        return calc_map_k_4dir_auto(
+            query_img, query_txt, retrieval_img, retrieval_txt,
+            self.query_labels, self.retrieval_labels, k,
         )
 
     def test(self):

@@ -113,11 +113,8 @@ class TwDHTrainer(BaseTrainer):
         # TPU, the counting-rank Pallas kernel — incl. its f32 wide path for
         # the >255-bit long codes), vs the reference's four independent
         # calc_map_k calls (runners/TwDH/runner.py:174-181)
-        from ..ops.map_bucketed import calc_map_k_4dir_auto
-
-        mapi2t, mapt2i, mapi2i, mapt2t = calc_map_k_4dir_auto(
-            query_img, query_txt, retrieval_img, retrieval_txt,
-            self.query_labels, self.retrieval_labels, k
+        mapi2t, mapt2i, mapi2i, mapt2t = self.calc_map_4dir(
+            query_img, query_txt, retrieval_img, retrieval_txt, k
         )
         if short is None:
             if self.max_mapi2t < mapi2t:

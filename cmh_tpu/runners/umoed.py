@@ -37,14 +37,9 @@ class UMoEDTrainer(BaseTrainer):
         q_fus = np.zeros_like(np.asarray(query_img))
         r_fus = np.zeros_like(np.asarray(retrieval_img))
 
-        mapi2t = self.calc_map_k(query_img, retrieval_txt, self.query_labels,
-                                 self.retrieval_labels, k)
-        mapt2i = self.calc_map_k(query_txt, retrieval_img, self.query_labels,
-                                 self.retrieval_labels, k)
-        mapi2i = self.calc_map_k(query_img, retrieval_img, self.query_labels,
-                                 self.retrieval_labels, k)
-        mapt2t = self.calc_map_k(query_txt, retrieval_txt, self.query_labels,
-                                 self.retrieval_labels, k)
+        mapi2t, mapt2i, mapi2i, mapt2t = self.calc_map_4dir(
+            query_img, query_txt, retrieval_img, retrieval_txt, k
+        )
 
         def save(name):
             self.save_mat_fusion(
