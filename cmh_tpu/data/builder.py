@@ -99,8 +99,7 @@ def build_dataloader(
     """Load corpus files, split, and instantiate train/query/retrieval
     dataset objects (reference builder.py:34-104)."""
     assert dataset_cls is not None, "'dataset_cls' must be provided!"
-    dataset = registry.get_dataset_class(dataset_cls)
-    assert dataset is not None, f"unknown dataset arch '{dataset_cls}'"
+    dataset = registry.require_dataset_class(dataset_cls)
 
     if dataset_cls == "synthetic_dataset":
         # synthetic data needs no files; sizes come from kwargs

@@ -151,7 +151,7 @@ def main(argv=None):
     from .registry import registry
 
     cfg = load_config(args.config_file)
-    method_cls = registry.get_model_class(cfg.model.get("arch", "DCMHT"))
+    method_cls = registry.require_model_class(cfg.model.get("arch", "DCMHT"))
     method = method_cls.from_config(
         cfg.model, output_dim=cfg.run.get("output_dim", 16),
         train_num=cfg.run.get("train_num", 10000))

@@ -107,6 +107,32 @@ class Registry:
     def get_path(self, name: str) -> Optional[str]:
         return self.mapping["paths"].get(name, None)
 
+    # ------------------------------------------------------- strict lookup
+    def _require(self, table: str, kind: str, name: str) -> type:
+        cls = self.mapping[table].get(name, None)
+        if cls is None:
+            raise KeyError(
+                "unknown {} '{}'; registered: {}".format(
+                    kind, name, ", ".join(sorted(self.mapping[table])) or "<none>"
+                )
+            )
+        return cls
+
+    def require_dataset_class(self, name: str) -> type:
+        return self._require("dataset_name_mapping", "dataset arch", name)
+
+    def require_model_class(self, name: str) -> type:
+        return self._require("model_name_mapping", "model arch", name)
+
+    def require_optimizer_class(self, name: str) -> type:
+        return self._require("optimizer_name_mapping", "optimizer arch", name)
+
+    def require_tokenizer_class(self, name: str) -> type:
+        return self._require("tokenizer", "tokenizer", name)
+
+    def require_runner_class(self, name: str) -> type:
+        return self._require("runner_name_mapping", "runner arch", name)
+
     # ------------------------------------------------------------------ lists
     def list_runners(self):
         return sorted(self.mapping["runner_name_mapping"].keys())

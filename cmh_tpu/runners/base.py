@@ -197,8 +197,7 @@ class BaseTrainer:
     # ----------------------------------------------------------------- model
     def build_model(self, cfg_model, output_dim=16):
         arch = cfg_model.get("arch", "DCMHT")
-        method_cls = registry.get_model_class(arch)
-        assert method_cls is not None, f"unknown model arch '{arch}'"
+        method_cls = registry.require_model_class(arch)
         self.method: Method = method_cls.from_config(
             cfg_model, output_dim=output_dim, train_num=self.train_num
         )

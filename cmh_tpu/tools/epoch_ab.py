@@ -105,7 +105,7 @@ def time_ours(cfg, epochs):
     from cmh_tpu.config import config_from_dict
     from cmh_tpu.registry import registry
 
-    trainer = registry.get_runner_class("DCMHTTrainer").from_config(
+    trainer = registry.require_runner_class("DCMHTTrainer").from_config(
         cfg=config_from_dict(cfg), auto_run=False
     )
     trainer.train_loader.dataset.is_train = False

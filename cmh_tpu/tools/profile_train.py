@@ -131,7 +131,7 @@ def main(argv=None):
                 "train_num": args.batch * 3, "query_num": args.batch * 4,
                 "epochs": 1, "display_step": 10 ** 9, "seed": 1},
     })
-    tr = registry.get_runner_class(f"{args.method}Trainer").from_config(
+    tr = registry.require_runner_class(f"{args.method}Trainer").from_config(
         cfg=cfg, auto_run=False)
     batches = [
         {k: jnp.asarray(v) for k, v in b.items()} for b in iter(tr.train_loader)

@@ -210,8 +210,7 @@ def _method_cfg(method: str, args, dim: int, save_dir: str):
 def run_ours(method: str, cfg) -> dict:
     from cmh_tpu.registry import registry
 
-    runner_cls = registry.get_runner_class(cfg.run.get("arch"))
-    assert runner_cls is not None, f"unknown runner {cfg.run.get('arch')}"
+    runner_cls = registry.require_runner_class(cfg.run.get("arch"))
     t0 = time.perf_counter()
     trainer = runner_cls.from_config(cfg=cfg, world_size=1, auto_run=False)
     trainer.train()

@@ -96,8 +96,7 @@ def main():
         assert world_size > 1, "distribute training needs more than one device!"
         cfg.run.update({"distribute": True})
 
-    runner_cls = registry.get_runner_class(cfg.run.get("arch", "DCMHTTrainer"))
-    assert runner_cls is not None, f"unknown runner '{cfg.run.get('arch')}'"
+    runner_cls = registry.require_runner_class(cfg.run.get("arch", "DCMHTTrainer"))
     runner_cls.from_config(
         cfg=cfg, world_size=world_size, distributed=args.distribute
     )

@@ -18,6 +18,20 @@ def test_registry_register_and_lookup():
     assert reg.list_models() == ["Foo"]
 
 
+def test_registry_require_lookup():
+    reg = Registry()
+
+    @reg.register_model("Foo")
+    class Foo:
+        pass
+
+    assert reg.require_model_class("Foo") is Foo
+    with pytest.raises(KeyError, match="unknown model arch 'Bar'.*Foo"):
+        reg.require_model_class("Bar")
+    with pytest.raises(KeyError, match="unknown runner arch .*<none>"):
+        reg.require_runner_class("NopeTrainer")
+
+
 def test_registry_duplicate_raises():
     reg = Registry()
     reg.register_runner("R")(object)
