@@ -756,12 +756,19 @@ def test_twdh_end_to_end_training_parity(single_label_data_dir, clip_ckpt,
         )
 
         our_records = []
-        orig_calc = trainer.calc_map_k
-        trainer.calc_map_k = lambda qB, *a, **k: (
-            our_records.append((int(qB.shape[1]),
-                                float(orig_calc(qB, *a, **k))))
-            or our_records[-1][1]
-        )
+        orig_4dir = trainer.calc_map_4dir
+
+        def recording_4dir(qi, qt, ri, rt_, k):
+            # our eval goes through the fused 4-direction dispatcher (one
+            # call per code length), while the reference makes 4 calc_map_k
+            # calls in i2t, t2i, i2i, t2t order (runner.py:198-201) — the
+            # dispatcher returns that same order, so flatten to matching
+            # per-direction records
+            maps = orig_4dir(qi, qt, ri, rt_, k)
+            our_records.extend((int(qi.shape[1]), float(m)) for m in maps)
+            return maps
+
+        trainer.calc_map_4dir = recording_4dir
         our_codes = []
         orig_our_get_code = trainer.get_code
 
