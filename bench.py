@@ -300,6 +300,39 @@ def bench_map_eval_subprocess(timeout_s=1500):
     return None, None
 
 
+def _artifact_extras():
+    """Committed measurement artifacts (tools/artifacts/*.json) that don't
+    need the tunnel: the torch-CPU reference epoch cost at the full-scale
+    protocol and any epoch A/B ratios measured against it. Clearly keyed as
+    artifacts — these are machine-local measured records, not chip numbers
+    from this bench run."""
+    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tools", "artifacts")
+    out = {}
+    try:
+        with open(os.path.join(art_dir, "ref_epoch_full.json")) as f:
+            ref = json.load(f)
+        times = ref["ref_epoch_times_s"]
+        out["artifact_ref_epoch_s_torch_cpu_full_scale"] = (
+            times[-1] if len(times) > 1 else times[0])
+    except Exception:
+        pass
+    for name, key in (
+        ("epoch_ab_cpu_full.json", "artifact_epoch_ab_full_scale_cpu_vs_cpu"),
+        ("epoch_ab_tpu_full.json", "artifact_epoch_ab_full_scale_tpu_vs_torch_cpu"),
+    ):
+        try:
+            with open(os.path.join(art_dir, name)) as f:
+                ab = json.load(f)
+            out[key] = {"speedup": ab.get("speedup"),
+                        "ours_epoch_s": ab.get("ours_epoch_s"),
+                        "ref_epoch_s": ab.get("ref_epoch_s"),
+                        "backend_ours": ab.get("backend_ours")}
+        except Exception:
+            pass
+    return out
+
+
 def main():
     def stage(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
@@ -361,6 +394,7 @@ def main():
                 "eval_codegen_items_per_sec_per_chip": None,
                 "device": "unreachable",
                 "error": "TPU backend unreachable (tunnel down)",
+                **_artifact_extras(),
             },
         }))
         return
@@ -400,6 +434,7 @@ def main():
                 round(codegen_rate, 2) if codegen_rate is not None else None
             ),
             "device": device_str,
+            **_artifact_extras(),
         },
     }
     print(json.dumps(result))

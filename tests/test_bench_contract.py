@@ -27,3 +27,5 @@ def test_bench_prints_one_json_line_even_with_no_budget():
     assert d["metric"] == "hamming_comparisons_per_sec_per_chip"
     assert set(d) >= {"value", "unit", "vs_baseline", "extra"}
     assert "train_step_pairs_per_sec_per_chip" in d["extra"]
+    # tunnel-independent committed artifacts ride along in every line
+    assert d["extra"]["artifact_ref_epoch_s_torch_cpu_full_scale"] > 60
