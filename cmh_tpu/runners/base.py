@@ -487,6 +487,7 @@ class BaseTrainer:
             # chunked device-side stepping: one dispatch per scan_steps
             # steps (proven ≡ per-step in tests/test_train_scan.py)
             buf = []
+            full_flushed = False
             for batch in self.train_loader:
                 examples += int(batch["valid"].sum())
                 buf.append(batch)
@@ -494,11 +495,32 @@ class BaseTrainer:
                     all_loss, times = self._train_scan_chunk(
                         buf, epoch, all_loss, times
                     )
+                    full_flushed = True
                     buf = []
-            if buf:
+            if buf and not full_flushed and len(buf) > 1:
+                # loader shorter than scan_steps: scan the whole epoch —
+                # the same compiled program every epoch
                 all_loss, times = self._train_scan_chunk(
                     buf, epoch, all_loss, times
                 )
+            elif buf:
+                # ragged tail after full chunks: reuse the single-step
+                # program rather than compiling a bespoke scan at the tail
+                # length (a distinct scan length is a distinct XLA program —
+                # 10-25 min per cold compile through the tunnel; the ≤
+                # scan_steps-1 extra ~40ms dispatches are noise against that)
+                for b in buf:
+                    self.global_step += 1
+                    times += 1
+                    self.state, loss, loss_dict = self._train_step(
+                        self.state, self._put_batch(b)
+                    )
+                    all_loss = loss if all_loss is None else all_loss + loss
+                    if self.global_step % self.display_step == 0:
+                        self.print_loss_dict(
+                            jax.tree_util.tree_map(float, loss_dict),
+                            bits=self.output_dim, epoch=epoch, times=times,
+                        )
             epoch_loss = (
                 float(all_loss) / max(times, 1) if all_loss is not None else 0.0
             )
@@ -594,6 +616,7 @@ class BaseTrainer:
             and type(self).generate_hash is BaseTrainer.generate_hash
         )
         buf = []
+        full_flushed = False
         for batch in data_loader:
             if use_scan:
                 buf.append(batch)
@@ -603,6 +626,7 @@ class BaseTrainer:
                         (img_buffer, txt_buffer),
                         self._put_batch(self._stack_host_batches(buf)),
                     )
+                    full_flushed = True
                     buf = []
                 continue
             device_batch = self._put_batch(batch)
@@ -611,12 +635,25 @@ class BaseTrainer:
                 (img_buffer, txt_buffer), (img_hash, txt_hash),
                 batch["index"], batch["valid"],
             )
-        if buf:
+        if buf and not full_flushed and len(buf) > 1:
+            # loader shorter than scan_steps: one whole-loader scan — the
+            # same compiled program for every eval of this loader
             img_buffer, txt_buffer = self._encode_scan(
                 self.state.params, self.state.model_state,
                 (img_buffer, txt_buffer),
                 self._put_batch(self._stack_host_batches(buf)),
             )
+        elif buf:
+            # ragged tail after full chunks: reuse the single-step encode
+            # program (a distinct scan length = a distinct XLA program;
+            # see train_epoch tail comment)
+            for batch in buf:
+                device_batch = self._put_batch(batch)
+                img_hash, txt_hash = self.generate_hash(device_batch)
+                img_buffer, txt_buffer = self._scatter_codes(
+                    (img_buffer, txt_buffer), (img_hash, txt_hash),
+                    batch["index"], batch["valid"],
+                )
         return img_buffer, txt_buffer
 
     def valid(self, epoch: int, k: Optional[int] = None):

@@ -130,6 +130,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", platform)
+    from cmh_tpu.utils.jax_setup import enable_persistent_cache
+
+    enable_persistent_cache()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", choices=["tiny", "full"], default="tiny",

@@ -292,6 +292,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", platform)
+    from cmh_tpu.utils.jax_setup import enable_persistent_cache
+
+    enable_persistent_cache()
 
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--data-root", required=True,

@@ -89,6 +89,12 @@ def main():
     if platform:
         jax.config.update("jax_platforms", platform)
 
+    # cold remote-TPU compiles of the training programs take 10-25 min;
+    # the repo-local persistent cache makes them one-time per machine
+    from cmh_tpu.utils.jax_setup import enable_persistent_cache
+
+    enable_persistent_cache()
+
     maybe_init_distributed(cfg)
 
     world_size = jax.device_count()

@@ -75,8 +75,9 @@ def test_train_scan_with_method_state(tmp_path):
 def test_scan_steps_epoch_and_eval_match_per_step(tmp_path):
     """cfg.run.scan_steps chunks train_epoch AND get_code into device-side
     scans (one dispatch per chunk on the tunneled backend). A scan_steps=3
-    trainer over 5 batches (one full chunk + a ragged tail) must produce the
-    same params and eval code buffers as the per-step trainer."""
+    trainer over 5 batches (one full chunk + a ragged tail — the tail rides
+    the single-step program, never a bespoke tail-length scan) must produce
+    the same params and eval code buffers as the per-step trainer."""
     run = {"shuffle": False, "train_num": 80, "query_num": 16}
     tr_a = tiny_trainer(tmp_path / "a", "DCMHT", "DCMHTTrainer",
                         run_extra=dict(run))
@@ -100,3 +101,32 @@ def test_scan_steps_epoch_and_eval_match_per_step(tmp_path):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(qa_t), np.asarray(qb_t),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_scan_steps_longer_than_epoch_whole_loader_scan(tmp_path):
+    """When the loader is shorter than scan_steps (the full-scale epoch A/B
+    protocol: 10 train batches at scan_steps=25), the whole epoch runs as ONE
+    scan — the same compiled program every epoch — instead of per-step
+    dispatches. Results must still match the per-step trainer exactly."""
+    run = {"shuffle": False, "train_num": 48, "query_num": 16}
+    tr_a = tiny_trainer(tmp_path / "a", "DCMHT", "DCMHTTrainer",
+                        run_extra=dict(run))
+    tr_b = tiny_trainer(tmp_path / "b", "DCMHT", "DCMHTTrainer",
+                        run_extra=dict(run, scan_steps=8))
+    assert len(tr_b.train_loader) == 3  # 3 < scan_steps → whole-epoch scan
+
+    tr_a.train_epoch(0)
+    tr_b.train_epoch(0)
+    assert tr_a.global_step == tr_b.global_step == 3
+    assert int(tr_b.state.step) == 3
+
+    for pa, pb in zip(jax.tree_util.tree_leaves(tr_a.state.params),
+                      jax.tree_util.tree_leaves(tr_b.state.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
+
+    qa = tr_a.get_code(tr_a.query_loader, tr_a.query_num)
+    qb = tr_b.get_code(tr_b.query_loader, tr_b.query_num)
+    for a, b in zip(qa, qb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
