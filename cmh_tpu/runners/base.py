@@ -680,14 +680,14 @@ class BaseTrainer:
             self.save_mat(query_img, query_txt, self.query_labels, retrieval_img,
                           retrieval_txt, self.retrieval_labels,
                           save_file=os.path.join(save_dir, "i2t-best.mat"))
-            self.save_model(self.save_dir, epoch)
+            self.save_model_once(self.save_dir, epoch)
         self.max_mapi2t = max(self.max_mapi2t, mapi2t)
         if self.max_mapt2i < mapt2i:
             self.best_epoch_t = epoch
             self.save_mat(query_img, query_txt, self.query_labels, retrieval_img,
                           retrieval_txt, self.retrieval_labels,
                           save_file=os.path.join(save_dir, "t2i-best.mat"))
-            self.save_model(self.save_dir, epoch)
+            self.save_model_once(self.save_dir, epoch)
         self.max_mapt2i = max(self.max_mapt2i, mapt2i)
         self.save_mat(query_img, query_txt, self.query_labels, retrieval_img,
                       retrieval_txt, self.retrieval_labels,
@@ -748,6 +748,19 @@ class BaseTrainer:
             "r_l": np.asarray(retrieval_labels),
         }
         scio.savemat(save_file, result_dict)
+
+    def save_model_once(self, save_dir, epoch, other=""):
+        """``save_model`` that skips a second identical write in the same
+        epoch. The reference saves on each new-best direction independently
+        (runners/base.py:326,332) — when both i→t and t→i improve in one
+        epoch it writes the same state_dict twice; at full scale one write
+        is ~13s of serialization, so the duplicate is pure waste. The
+        resulting artifact set is byte-identical either way."""
+        key = (save_dir, epoch, other)
+        if getattr(self, "_last_model_save", None) == key:
+            return
+        self._last_model_save = key
+        self.save_model(save_dir, epoch, other)
 
     def save_model(self, save_dir, epoch, other=""):
         """Weights-only snapshot (reference save_model parity,

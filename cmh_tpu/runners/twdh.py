@@ -122,14 +122,14 @@ class TwDHTrainer(BaseTrainer):
                 self.save_mat(query_img, query_txt, self.query_labels,
                               retrieval_img, retrieval_txt, self.retrieval_labels,
                               save_file=os.path.join(save_dir, "i2t-long.mat"))
-                self.save_model(self.save_dir, epoch)
+                self.save_model_once(self.save_dir, epoch)
             self.max_mapi2t = max(self.max_mapi2t, mapi2t)
             if self.max_mapt2i < mapt2i:
                 self.best_epoch_t = epoch
                 self.save_mat(query_img, query_txt, self.query_labels,
                               retrieval_img, retrieval_txt, self.retrieval_labels,
                               save_file=os.path.join(save_dir, "t2i-long.mat"))
-                self.save_model(self.save_dir, epoch)
+                self.save_model_once(self.save_dir, epoch)
             self.max_mapt2i = max(self.max_mapt2i, mapt2i)
             self.logger.info(
                 f">>>>>> [{epoch}/{self.epochs}], Long, {query_img.shape[-1]} Bit, "

@@ -174,3 +174,23 @@ def test_multi_host_init_plumbing(monkeypatch):
         "num_processes": None,
         "process_id": None,
     }
+
+
+def test_save_model_once_dedupes_same_epoch(tmp_path):
+    """valid() calls save_model for each direction that hits a new best; when
+    both i2t and t2i improve in one epoch that used to write the identical
+    weights file twice (~13s each at full scale). save_model_once skips the
+    second write; a new epoch (or explicit save_model) still writes."""
+    from cmh_tpu.runners.base import BaseTrainer
+
+    calls = []
+    t = BaseTrainer.__new__(BaseTrainer)
+    t.save_model = lambda save_dir, epoch, other="": calls.append(
+        (save_dir, epoch, other)
+    )
+    t.save_model_once(str(tmp_path), 0)
+    t.save_model_once(str(tmp_path), 0)   # same epoch: deduped
+    t.save_model_once(str(tmp_path), 1)   # new epoch: writes
+    t.save_model_once(str(tmp_path), 1, other="emergency-")  # distinct artifact
+    assert calls == [(str(tmp_path), 0, ""), (str(tmp_path), 1, ""),
+                     (str(tmp_path), 1, "emergency-")]
