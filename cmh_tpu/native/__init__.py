@@ -1,58 +1,29 @@
-"""ctypes bindings + on-demand build for the native image-preprocessing lib.
+"""ctypes bindings for the native image-preprocessing lib (image_ops.cpp).
 
-Builds ``libimage_ops.so`` with g++ on first use (no pybind11 in this image;
-the C ABI + ctypes keeps the binding dependency-free). The binary is never
-committed — it is compiled locally with ``-march=native`` and sanity-checked
-after load, so a stale or foreign-arch artifact can't silently poison (or
-crash) the data pipeline. If the toolchain is unavailable or the self-test
-fails, the pipeline silently falls back to the PIL path in
-``data/transforms.py``.
+Built on demand with g++ via ``_build.NativeLib`` (no pybind11 in this
+image; the C ABI + ctypes keeps the binding dependency-free). If the
+toolchain is unavailable or the post-load self-test fails, the data pipeline
+silently falls back to the PIL path in ``data/transforms.py``. The serving
+scorer lives in the sibling ``hash_ops`` module.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 from typing import Optional
 
 import numpy as np
 
-_HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "image_ops.cpp")
-_LIB = os.path.join(_HERE, "libimage_ops.so")
+from ._build import NativeLib
 
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_build_failed = False
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 BILINEAR = 0
 BICUBIC = 1
 
 
-def _build() -> bool:
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _LIB,
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        try:  # -march=native can be unsupported in qemu-ish environments
-            cmd.remove("-march=native")
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            return True
-        except Exception:
-            return False
-
-
-def _load() -> Optional[ctypes.CDLL]:
-    try:
-        lib = ctypes.CDLL(_LIB)
-    except OSError:
-        return None
+def _configure(lib: ctypes.CDLL) -> None:
     f32p = ctypes.POINTER(ctypes.c_float)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.crop_resize_normalize.argtypes = [
@@ -66,62 +37,39 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, f32p, f32p, ctypes.c_int,
     ]
     lib.resize_normalize.restype = None
-    return lib
 
 
 def _self_test(lib) -> bool:
     """Sanity-check the loaded binary on a constant image: any interpolation
     of a constant field must reproduce the exact normalized value."""
-    try:
-        src = np.full((8, 8, 3), 128, dtype=np.uint8)
-        mean = np.asarray([0.5, 0.5, 0.5], dtype=np.float32)
-        std = np.asarray([0.25, 0.25, 0.25], dtype=np.float32)
-        dst = np.empty((4, 4, 3), dtype=np.float32)
-        lib.resize_normalize(
-            _ptr(src, ctypes.c_uint8), 8, 8,
-            _ptr(dst, ctypes.c_float), 4, 4, BILINEAR,
-            _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float), 0,
-        )
-        expected = (128.0 / 255.0 - 0.5) / 0.25
-        return bool(np.allclose(dst, expected, atol=1e-5))
-    except Exception:
-        return False
+    src = np.full((8, 8, 3), 128, dtype=np.uint8)
+    mean = np.asarray([0.5, 0.5, 0.5], dtype=np.float32)
+    std = np.asarray([0.25, 0.25, 0.25], dtype=np.float32)
+    dst = np.empty((4, 4, 3), dtype=np.float32)
+    lib.resize_normalize(
+        _ptr(src, ctypes.c_uint8), 8, 8,
+        _ptr(dst, ctypes.c_float), 4, 4, BILINEAR,
+        _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float), 0,
+    )
+    expected = (128.0 / 255.0 - 0.5) / 0.25
+    return bool(np.allclose(dst, expected, atol=1e-5))
+
+
+_LIB = NativeLib(
+    src=os.path.join(_HERE, "image_ops.cpp"),
+    lib_path=os.path.join(_HERE, "libimage_ops.so"),
+    configure=_configure,
+    self_test=_self_test,
+)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None if unavailable."""
-    global _lib, _build_failed
-    if _lib is not None:
-        return _lib
-    if _build_failed:
-        return None
-    with _lock:
-        if _lib is not None:
-            return _lib
-        stale = not os.path.exists(_LIB) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        )
-        if stale and not _build():
-            _build_failed = True
-            return None
-        lib = _load()
-        if lib is None or not _self_test(lib):
-            # wrong-arch or corrupted binary: rebuild once from source
-            try:
-                os.remove(_LIB)
-            except OSError:
-                pass
-            lib = _load() if _build() else None
-            if lib is None or not _self_test(lib):
-                _build_failed = True
-                return None
-        _lib = lib
-        return _lib
+    return _LIB.get()
 
 
 def available() -> bool:
-    return get_lib() is not None
+    return _LIB.available()
 
 
 def _ptr(arr, ctype):

@@ -22,6 +22,19 @@ from .ops.hamming_pallas import hamming_packed
 from .ops.hashing import pack_bits
 
 
+def _pack_bits_host(codes: np.ndarray) -> np.ndarray:
+    """Host-side mirror of ops.hashing.pack_bits (bit-identical layout) so
+    CPU serving never touches a JAX backend."""
+    n, k = codes.shape
+    words = -(-k // 32)
+    bits = (codes > 0).astype(np.uint32)
+    if words * 32 - k:
+        bits = np.pad(bits, ((0, 0), (0, words * 32 - k)))
+    return (
+        bits.reshape(n, words, 32) << np.arange(32, dtype=np.uint32)
+    ).sum(axis=-1, dtype=np.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("topk", "interpret"))
 def _search(q_packed, g_packed, topk: int, interpret: bool = False):
     dist = hamming_packed(q_packed, g_packed, interpret=interpret).astype(
@@ -73,6 +86,35 @@ class RetrievalIndex:
         interpret = jax.default_backend() == "cpu"
         dist, idx = _search(qp, gallery, topk, interpret)
         return np.asarray(dist), np.asarray(idx)
+
+    def search_cpu(self, query_codes, topk: int = 10,
+                   n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k on the host CPU — same results and tie order as
+        ``search``, no accelerator required (deployment hosts serving an
+        exported-encoder + index pair). Scores with the native popcount
+        scorer (native/hash_ops.cpp, threaded over queries); falls back to a
+        vectorized numpy path when the g++ toolchain is missing."""
+        q = np.asarray(query_codes, np.float32)
+        assert q.shape[1] == self.bits
+        assert 0 < topk <= self._count
+        qp = _pack_bits_host(q)
+        gallery = np.concatenate(self._chunks, axis=0)
+        from .native import hash_ops
+
+        if hash_ops.available():
+            return hash_ops.hamming_topk(qp, gallery, topk, n_threads)
+        # numpy fallback: byte-LUT popcount; stable argsort keeps the
+        # lower-index tie order
+        lut = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1
+        ).sum(axis=1).astype(np.int32)
+        qb = qp.view(np.uint8).reshape(qp.shape[0], -1)
+        gb = gallery.view(np.uint8).reshape(gallery.shape[0], -1)
+        dist = lut[qb[:, None, :] ^ gb[None, :, :]].sum(
+            axis=-1, dtype=np.int32
+        )
+        order = np.argsort(dist, axis=1, kind="stable")[:, :topk]
+        return np.take_along_axis(dist, order, axis=1), order.astype(np.int64)
 
     def save(self, path: str) -> None:
         np.savez(path, packed=np.concatenate(self._chunks, axis=0),

@@ -50,3 +50,65 @@ def test_save_load_roundtrip(tmp_path):
     d2, i2 = loaded.search(gallery[:4], topk=3)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(d1, d2)
+
+
+def test_search_cpu_matches_device_path():
+    """Native CPU scorer (hash_ops.cpp) ≡ the JAX/Pallas search: same
+    distances, same indices, same lower-index tie order. bits=8 forces heavy
+    distance ties; bits=70 → 3 uint32 words (odd count exercises the paired
+    u64 loads + the 32-bit tail); bits=64 → the aligned even-words path."""
+    for bits, seed in [(8, 0), (64, 1), (70, 2)]:
+        gallery = _codes(300, bits, seed)
+        queries = _codes(9, bits, seed + 10)
+        index = RetrievalIndex(bits)
+        index.add(gallery[:150])
+        index.add(gallery[150:])  # multi-chunk gallery
+        d_dev, i_dev = index.search(queries, topk=7)
+        d_cpu, i_cpu = index.search_cpu(queries, topk=7)
+        np.testing.assert_array_equal(d_cpu, d_dev)
+        np.testing.assert_array_equal(i_cpu, i_dev)
+
+
+def test_search_cpu_numpy_fallback_and_k_equals_n(monkeypatch):
+    """With the native lib unavailable, the numpy LUT fallback must produce
+    identical results — incl. at topk == len(index) (full ranking)."""
+    from cmh_tpu.native import hash_ops
+
+    bits = 8  # ties guaranteed
+    gallery = _codes(40, bits, 4)
+    queries = _codes(5, bits, 5)
+    index = RetrievalIndex(bits)
+    index.add(gallery)
+    d_nat, i_nat = index.search_cpu(queries, topk=40)
+    monkeypatch.setattr(hash_ops, "available", lambda: False)
+    d_np, i_np = index.search_cpu(queries, topk=40)
+    np.testing.assert_array_equal(d_np, d_nat)
+    np.testing.assert_array_equal(i_np, i_nat)
+    d_dev, i_dev = index.search(queries, topk=40)
+    np.testing.assert_array_equal(d_np, d_dev)
+    np.testing.assert_array_equal(i_np, i_dev)
+
+
+def test_pack_bits_host_matches_device():
+    from cmh_tpu.ops.hashing import pack_bits
+    from cmh_tpu.serving import _pack_bits_host
+
+    codes = _codes(13, 70, 6)
+    np.testing.assert_array_equal(
+        _pack_bits_host(codes), np.asarray(pack_bits(codes))
+    )
+
+
+def test_native_hash_ops_multithreaded_matches_single():
+    from cmh_tpu.native import hash_ops
+    from cmh_tpu.serving import _pack_bits_host
+
+    if not hash_ops.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    qp = _pack_bits_host(_codes(64, 96, 7))
+    gp = _pack_bits_host(_codes(500, 96, 8))
+    d1, i1 = hash_ops.hamming_topk(qp, gp, 11, n_threads=1)
+    d4, i4 = hash_ops.hamming_topk(qp, gp, 11, n_threads=4)
+    np.testing.assert_array_equal(d1, d4)
+    np.testing.assert_array_equal(i1, i4)
