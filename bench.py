@@ -300,6 +300,38 @@ def bench_map_eval_subprocess(timeout_s=1500):
     return None, None
 
 
+def bench_serving_cpu(n=500_000, q=64, bits=64, topk=100, runs=3):
+    """Host-side serving scorer (native/hash_ops.cpp): exact top-k over a
+    packed gallery on the CPU — no TPU involved, so it runs (and is reported)
+    even when the tunnel is down. Returns comparisons/sec on this host."""
+    import numpy as np
+
+    from cmh_tpu.native import hash_ops
+
+    if not hash_ops.available():
+        return None
+    rng = np.random.RandomState(0)
+    words = bits // 32
+    gallery = rng.randint(0, 2**32, size=(n, words), dtype=np.uint32)
+    hash_ops.hamming_topk(gallery[:4], gallery, topk)  # warm (thread spawn)
+    times = []
+    for _ in range(runs):
+        queries = rng.randint(0, 2**32, size=(q, words), dtype=np.uint32)
+        t0 = time.perf_counter()
+        hash_ops.hamming_topk(queries, gallery, topk)
+        times.append(time.perf_counter() - t0)
+    return q * n / sorted(times)[len(times) // 2]
+
+
+def _serving_cpu_extra():
+    try:
+        rate = bench_serving_cpu()
+        return {"serving_cpu_topk_cmp_per_sec_host": (
+            round(rate, 1) if rate is not None else None)}
+    except Exception:
+        return {"serving_cpu_topk_cmp_per_sec_host": None}
+
+
 def _artifact_extras():
     """Committed measurement artifacts (tools/artifacts/*.json) that don't
     need the tunnel: the torch-CPU reference epoch cost at the full-scale
@@ -394,6 +426,7 @@ def main():
                 "eval_codegen_items_per_sec_per_chip": None,
                 "device": "unreachable",
                 "error": "TPU backend unreachable (tunnel down)",
+                **_serving_cpu_extra(),
                 **_artifact_extras(),
             },
         }))
@@ -434,6 +467,7 @@ def main():
                 round(codegen_rate, 2) if codegen_rate is not None else None
             ),
             "device": device_str,
+            **_serving_cpu_extra(),
             **_artifact_extras(),
         },
     }

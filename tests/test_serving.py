@@ -112,3 +112,48 @@ def test_native_hash_ops_multithreaded_matches_single():
     d4, i4 = hash_ops.hamming_topk(qp, gp, 11, n_threads=4)
     np.testing.assert_array_equal(d1, d4)
     np.testing.assert_array_equal(i1, i4)
+
+
+def test_deployment_path_export_then_cpu_serve(tmp_path):
+    """Full deployment story with no trainer and no accelerator at serve
+    time: export the encoders (StableHLO artifact), encode a gallery + text
+    queries through the loaded artifact, index the image codes, persist the
+    index, then answer cross-modal queries with search_cpu — and get exactly
+    what the device path returns."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmh_tpu.config import config_from_dict
+    from cmh_tpu.export import export_encoders, load_encoders
+    from cmh_tpu.models.dcmht import DCMHTMethod
+
+    cfg_model = config_from_dict(
+        {"model": {"clip_variant": "tiny", "hash_func": "softmax"}}).model
+    method = DCMHTMethod.from_config(cfg_model, output_dim=8)
+    res = method.clip_cfg.image_resolution
+    B, W = 6, 12
+    rng = np.random.RandomState(11)
+    image = jnp.asarray(rng.randn(B, res, res, 3), jnp.float32)
+    text = jnp.asarray(rng.randint(1, 49405, (B, W)), jnp.int32)
+    kpm = jnp.zeros((B, W), bool)
+    variables = method.init_variables(
+        jax.random.PRNGKey(0),
+        {"image": image, "text": text, "key_padding_mask": kpm})
+    path = str(tmp_path / "enc.cmh")
+    export_encoders(method, variables, path, batch=B, max_words=W)
+
+    # --- serve side: artifact + index only, no Method/trainer objects
+    enc = load_encoders(path)
+    gallery_codes = np.asarray(enc.encode_image(np.asarray(image)))
+    query_codes = np.asarray(enc.encode_text(np.asarray(text),
+                                             np.asarray(kpm)))
+    index = RetrievalIndex(bits=8)
+    index.add(gallery_codes)
+    index.save(str(tmp_path / "index.npz"))
+    served = RetrievalIndex.load(str(tmp_path / "index.npz"))
+
+    d_cpu, i_cpu = served.search_cpu(query_codes, topk=3)
+    d_dev, i_dev = served.search(query_codes, topk=3)
+    np.testing.assert_array_equal(d_cpu, d_dev)
+    np.testing.assert_array_equal(i_cpu, i_dev)
+    assert d_cpu.shape == (B, 3) and i_cpu.dtype == np.int64
