@@ -703,13 +703,15 @@ class BaseTrainer:
     def calc_map_4dir(self, query_img, query_txt, retrieval_img, retrieval_txt,
                       k: Optional[int]):
         """Four-direction mAP through the fused dispatcher (shares the
-        ground-truth matrix; counting-rank Pallas kernel on TPU, incl. its
-        f32 wide path for 256–1022-bit codes; argsort fallback beyond)."""
+        ground-truth matrix; query-sharded over the device mesh in
+        distributed runs, counting-rank Pallas kernel on single-chip TPU
+        incl. its f32 wide path for 256–1022-bit codes; argsort fallback
+        beyond)."""
         from ..ops.map_bucketed import calc_map_k_4dir_auto
 
         return calc_map_k_4dir_auto(
             query_img, query_txt, retrieval_img, retrieval_txt,
-            self.query_labels, self.retrieval_labels, k,
+            self.query_labels, self.retrieval_labels, k, mesh=self.mesh,
         )
 
     def test(self):

@@ -271,3 +271,41 @@ def test_checkpoint_crosses_flat_and_tree_optimizer_formats(tmp_path):
     assert np.abs(np.asarray(tr3.state.opt_state["backbone"].m)).sum() > 0
     tr3.state, loss3, _ = tr3._train_step(tr3.state, db)
     assert np.isfinite(float(loss3))
+
+
+def _map_inputs(num_query=83, num_r=211, bits=16, classes=5, seed=0):
+    rng = np.random.RandomState(seed)
+    mk = lambda n: rng.choice([-1.0, 1.0], size=(n, bits)).astype(np.float32)
+    ql = (rng.rand(num_query, classes) > 0.6).astype(np.float32)
+    ql[:, 0] = 1  # no all-zero label rows
+    rl = (rng.rand(num_r, classes) > 0.6).astype(np.float32)
+    rl[:, 0] = 1
+    return mk(num_query), mk(num_query), mk(num_r), mk(num_r), ql, rl
+
+
+@pytest.mark.parametrize("tp,k", [(1, None), (2, None), (1, 10)])
+def test_map_4dir_sharded_matches_single_device(tp, k):
+    """Query-sharded eval over the mesh ≡ the single-device bucketed path —
+    83 queries don't divide 8 devices (pad-and-mask path), multi-label
+    ground truth, both mAP@all and mAP@k, and a dp×tp (4, 2) mesh where
+    queries shard jointly over BOTH axes."""
+    from cmh_tpu.ops.map_bucketed import (
+        calc_map_k_4dir, calc_map_k_4dir_sharded,
+    )
+
+    qi, qt, ri, rt, ql, rl = _map_inputs()
+    want = calc_map_k_4dir(qi, qt, ri, rt, ql, rl, k)
+    mesh = make_mesh(tp=tp)
+    got = calc_map_k_4dir_sharded(qi, qt, ri, rt, ql, rl, k, mesh=mesh)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_map_4dir_auto_routes_to_sharded_on_mesh():
+    """calc_map_k_4dir_auto(mesh=...) must take the sharded path (≡ results)
+    and the trainer's calc_map_4dir must forward its mesh."""
+    from cmh_tpu.ops.map_bucketed import calc_map_k_4dir, calc_map_k_4dir_auto
+
+    qi, qt, ri, rt, ql, rl = _map_inputs(seed=3)
+    want = calc_map_k_4dir(qi, qt, ri, rt, ql, rl, None)
+    got = calc_map_k_4dir_auto(qi, qt, ri, rt, ql, rl, mesh=make_mesh())
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
