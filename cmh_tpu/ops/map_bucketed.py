@@ -169,6 +169,19 @@ def calc_map_k_bucketed(
     return total_ap / num_query
 
 
+def _pallas_tiles(bits: int):
+    """(tq, tn, chunk) for the counting-rank Pallas kernel: keep the lane
+    footprint (tq · (bits+2)) roughly constant so VMEM tiles stay the size
+    tuned at 64 bits; >126-bit codes pack uint16, so halve the query chunk
+    to keep the packed HBM matrix bounded. >255-bit codes use the kernel's
+    f32 wide path with small tiles (TwDH long codes — previously the
+    chunked-argsort route)."""
+    if bits <= 255:
+        tq = 128 if bits <= 64 else (64 if bits <= 126 else 32)
+        return tq, 128, 1024 if bits <= 126 else 512
+    return 8, 64, 256
+
+
 def calc_map_k_4dir_sharded(
     q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels,
     k: Optional[int] = None, mesh=None, chunk: int = 512, block: int = 256,
@@ -246,31 +259,33 @@ def calc_map_k_4dir_auto(
     k: Optional[int] = None, mesh=None,
 ):
     """Route the 4-direction eval to the fastest exact implementation for
-    the current backend: the query-sharded mesh path when a multi-device
-    mesh is active, the fused Pallas counting-rank kernel on single-chip TPU
-    (map_pallas.py — 3.3s vs 10.2s for the XLA path at coco scale), the
+    the current backend: on a multi-device mesh, query-sharded eval (the
+    Pallas kernel inside shard_map on TPU, the XLA bucketed chunk
+    elsewhere); single-chip TPU, the fused Pallas counting-rank kernel
+    (map_pallas.py — 3.3s vs 10.2s for the XLA path at coco scale); the
     XLA bucketed path elsewhere or for long codes."""
     bits = int(jnp.asarray(q_img).shape[1])
-    if mesh is not None and mesh.size > 1 and bits <= MAX_BUCKETED_BITS:
-        return calc_map_k_4dir_sharded(
-            q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels, k,
-            mesh=mesh,
-        )
     # the axon relay registers its platform as "axon", not "tpu"
-    if jax.default_backend() in ("tpu", "axon") and bits + 1 <= 1023:
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if mesh is not None and mesh.size > 1:
+        if on_tpu and bits + 1 <= 1023:
+            from .map_pallas import calc_map_k_4dir_pallas_sharded
+
+            tq, tn, chunk = _pallas_tiles(bits)
+            return calc_map_k_4dir_pallas_sharded(
+                q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels,
+                k, mesh=mesh, chunk=chunk, tq=tq, tn=tn,
+            )
+        if bits <= MAX_BUCKETED_BITS:
+            return calc_map_k_4dir_sharded(
+                q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels,
+                k, mesh=mesh,
+            )
+        # wide codes on a non-TPU mesh: single-device argsort route below
+    if on_tpu and bits + 1 <= 1023:
         from .map_pallas import calc_map_k_4dir_pallas
 
-        # keep the lane footprint (tq · (bits+2)) roughly constant so VMEM
-        # tiles stay the size tuned at 64 bits; >126-bit codes pack uint16,
-        # so halve the query chunk to keep the packed HBM matrix bounded.
-        # >255-bit codes use the kernel's f32 wide path with small tiles
-        # (TwDH long codes — previously the chunked-argsort route).
-        if bits <= 255:
-            tq = 128 if bits <= 64 else (64 if bits <= 126 else 32)
-            chunk = 1024 if bits <= 126 else 512
-            tn = 128
-        else:
-            tq, tn, chunk = 8, 64, 256
+        tq, tn, chunk = _pallas_tiles(bits)
         return calc_map_k_4dir_pallas(
             q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels, k,
             chunk=chunk, tq=tq, tn=tn,

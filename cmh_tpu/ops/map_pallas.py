@@ -323,3 +323,92 @@ def calc_map_k_4dir_pallas(
         totals += ap4[:, :size].sum(axis=1)
     maps = totals / num_query
     return tuple(float(m) for m in maps)
+
+
+def calc_map_k_4dir_pallas_sharded(
+    q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels,
+    k: Optional[int] = None, mesh=None, chunk: int = 1024, tq: int = 32,
+    tn: int = 256, interpret: bool = False,
+):
+    """Query-sharded multi-chip version of ``calc_map_k_4dir_pallas``.
+
+    Each device runs the counting-rank kernel over its query shard against
+    the replicated gallery inside ``shard_map`` (queries shard jointly over
+    every mesh axis); one ``psum`` combines the per-direction AP sums. All
+    padding — shard rounding, tail chunks, lane rounding — carries zero
+    labels or the sentinel word, so each padded column contributes exactly
+    0 AP (the 2·d+g packing makes its total 0); results match the
+    single-device kernel bit-for-bit up to fp32 summation order.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    assert mesh is not None and mesh.size >= 1
+    q_img = jnp.asarray(q_img, jnp.float32)
+    q_txt = jnp.asarray(q_txt, jnp.float32)
+    r_img = jnp.asarray(r_img, jnp.float32)
+    r_txt = jnp.asarray(r_txt, jnp.float32)
+    ql = jnp.asarray(query_labels, jnp.float32)
+    rl = jnp.asarray(retrieval_labels, jnp.float32)
+    bits = int(q_img.shape[1])
+    assert bits + 1 <= 1023
+
+    axes = tuple(mesh.axis_names)
+    n_shard = mesh.size
+    num_query = q_img.shape[0]
+    q_pad_n = _round_up(num_query, n_shard)
+    if q_pad_n > num_query:
+        pad = ((0, q_pad_n - num_query), (0, 0))
+        q_img = jnp.pad(q_img, pad, constant_values=1.0)
+        q_txt = jnp.pad(q_txt, pad, constant_values=1.0)
+        ql = jnp.pad(ql, pad)  # zero labels → zero AP contribution
+    local_n = q_pad_n // n_shard
+    lchunk = min(chunk, local_n)
+
+    n = r_img.shape[0]
+    n_pad = _round_up(n, tn)
+    pad_rows = n_pad - n
+    sentinel = np.dtype(_packed_dtype(bits)).type(2 * (bits + 1))
+    k_arr = jnp.float32(np.inf if k is None else float(k))
+
+    def local_fn(qi, qt, lc, ri, rt, rlg):
+        r_stack = (rt, ri, ri, rt)
+        totals = jnp.zeros((4,), jnp.float32)
+        for start in range(0, local_n, lchunk):
+            stop = min(start + lchunk, local_n)
+            size = stop - start
+
+            def grab(a):
+                x = a[start:stop]
+                if size < lchunk:
+                    x = jnp.pad(x, ((0, lchunk - size), (0, 0)),
+                                constant_values=1.0)
+                return x
+
+            qs = (grab(qi), grab(qt), grab(qi), grab(qt))
+            lcc = lc[start:stop]
+            if size < lchunk:
+                lcc = jnp.pad(lcc, ((0, lchunk - size), (0, 0)))
+            gnd = calc_label_sim(lcc, rlg)
+            d2T = jnp.concatenate(
+                [_packed_T(qc, rc, gnd, bits) for qc, rc in zip(qs, r_stack)],
+                axis=1,
+            )
+            q_cols = 4 * lchunk
+            c_pad = _round_up(q_cols, tq)
+            d2T = jnp.pad(d2T, ((0, pad_rows), (0, c_pad - q_cols)),
+                          constant_values=sentinel)
+            ap = _map_counting_pallas(d2T, k_arr, bits, tq=tq, tn=tn,
+                                      interpret=interpret)
+            totals = totals + ap[:q_cols].reshape(4, lchunk).sum(axis=1)
+        return jax.lax.psum(totals, axes)
+
+    qspec = P(axes)
+    run = jax.jit(shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(qspec, qspec, qspec, P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    ))
+    totals = np.asarray(run(q_img, q_txt, ql, r_img, r_txt, rl))
+    return tuple(float(m) for m in totals / num_query)

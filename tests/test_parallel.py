@@ -309,3 +309,30 @@ def test_map_4dir_auto_routes_to_sharded_on_mesh():
     want = calc_map_k_4dir(qi, qt, ri, rt, ql, rl, None)
     got = calc_map_k_4dir_auto(qi, qt, ri, rt, ql, rl, mesh=make_mesh())
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("tp,bits,k", [(1, 16, None), (2, 16, 7), (1, 300, None)])
+def test_map_4dir_pallas_sharded_matches_single(tp, bits, k):
+    """Pallas counting-rank kernel inside shard_map (the multi-chip TPU eval
+    route) ≡ single-device bucketed/argsort oracle — incl. the f32 wide path
+    (300 bits) and mAP@k. Interpret mode stands in for the TPU lowering on
+    the CPU mesh."""
+    from cmh_tpu.ops.map_pallas import calc_map_k_4dir_pallas_sharded
+    from cmh_tpu.ops.map_bucketed import calc_map_k_4dir
+    from cmh_tpu.ops.metrics import calc_map_k
+
+    qi, qt, ri, rt, ql, rl = _map_inputs(num_query=37, num_r=75, bits=bits,
+                                         seed=7)
+    if bits <= 256:
+        want = calc_map_k_4dir(qi, qt, ri, rt, ql, rl, k)
+    else:
+        want = tuple(
+            float(calc_map_k(q, r, ql, rl, k))
+            for q, r in ((qi, rt), (qt, ri), (qi, ri), (qt, rt))
+        )
+    mesh = make_mesh(tp=tp)
+    got = calc_map_k_4dir_pallas_sharded(
+        qi, qt, ri, rt, ql, rl, k, mesh=mesh, chunk=16, tq=8, tn=32,
+        interpret=True,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
