@@ -22,6 +22,10 @@ from .ops.hamming_pallas import hamming_packed
 from .ops.hashing import pack_bits
 
 
+# gallery block size for the numpy fallback ranking (monkeypatched in tests)
+_FALLBACK_BLOCK = 1 << 16
+
+
 def _pack_bits_host(codes: np.ndarray) -> np.ndarray:
     """Host-side mirror of ops.hashing.pack_bits (bit-identical layout) so
     CPU serving never touches a JAX backend."""
@@ -103,18 +107,34 @@ class RetrievalIndex:
 
         if hash_ops.available():
             return hash_ops.hamming_topk(qp, gallery, topk, n_threads)
-        # numpy fallback: byte-LUT popcount; stable argsort keeps the
-        # lower-index tie order
+        # numpy fallback: byte-LUT popcount, blocked over the gallery so the
+        # (Q, block, bytes) intermediate stays bounded. Selection runs on the
+        # composite key dist·N + global_idx (unique per item), so per-block
+        # partitioning can never trade a lower-index tied candidate for a
+        # higher one — the device path's exact tie order survives the merge.
         lut = np.unpackbits(
             np.arange(256, dtype=np.uint8)[:, None], axis=1
         ).sum(axis=1).astype(np.int32)
         qb = qp.view(np.uint8).reshape(qp.shape[0], -1)
-        gb = gallery.view(np.uint8).reshape(gallery.shape[0], -1)
-        dist = lut[qb[:, None, :] ^ gb[None, :, :]].sum(
-            axis=-1, dtype=np.int32
-        )
-        order = np.argsort(dist, axis=1, kind="stable")[:, :topk]
-        return np.take_along_axis(dist, order, axis=1), order.astype(np.int64)
+        nq, n_total = qb.shape[0], gallery.shape[0]
+        block = max(topk, _FALLBACK_BLOCK)
+        cand = np.empty((nq, 0), np.int64)
+        for start in range(0, n_total, block):
+            gb = gallery[start:start + block].view(np.uint8).reshape(
+                min(block, n_total - start), -1
+            )
+            dist = lut[qb[:, None, :] ^ gb[None, :, :]].sum(
+                axis=-1, dtype=np.int32
+            )
+            key = dist.astype(np.int64) * n_total + np.arange(
+                start, start + dist.shape[1], dtype=np.int64
+            )[None, :]
+            kk = min(topk, key.shape[1])
+            part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            cand = np.concatenate(
+                [cand, np.take_along_axis(key, part, axis=1)], axis=1)
+        cand = np.sort(cand, axis=1)[:, :topk]
+        return (cand // n_total).astype(np.int32), cand % n_total
 
     def save(self, path: str) -> None:
         np.savez(path, packed=np.concatenate(self._chunks, axis=0),

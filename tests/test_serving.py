@@ -157,3 +157,24 @@ def test_deployment_path_export_then_cpu_serve(tmp_path):
     np.testing.assert_array_equal(d_cpu, d_dev)
     np.testing.assert_array_equal(i_cpu, i_dev)
     assert d_cpu.shape == (B, 3) and i_cpu.dtype == np.int64
+
+
+def test_search_cpu_fallback_blocks_over_gallery(monkeypatch):
+    """The numpy fallback merges per-gallery-block candidates via the
+    composite dist·N+idx key — forcing tiny blocks (7 rows) with heavy ties
+    (bits=8) must reproduce the unblocked result exactly, incl. ties that
+    span block boundaries."""
+    import cmh_tpu.serving as serving
+    from cmh_tpu.native import hash_ops
+
+    bits = 8
+    gallery = _codes(60, bits, 9)
+    queries = _codes(6, bits, 10)
+    index = RetrievalIndex(bits)
+    index.add(gallery)
+    want_d, want_i = index.search(queries, topk=9)
+    monkeypatch.setattr(hash_ops, "available", lambda: False)
+    monkeypatch.setattr(serving, "_FALLBACK_BLOCK", 7)
+    got_d, got_i = index.search_cpu(queries, topk=9)
+    np.testing.assert_array_equal(got_d, want_d)
+    np.testing.assert_array_equal(got_i, want_i)
