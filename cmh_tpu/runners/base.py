@@ -431,17 +431,49 @@ class BaseTrainer:
         else:
             self.test()
 
+    def _find_resume_checkpoint(self) -> Optional[str]:
+        """Newest full-state checkpoint under the save ROOT (the directory
+        the user passed — each run nests in a timestamped subdir, so a
+        restarted command scans its siblings)."""
+        import glob
+
+        root = os.path.dirname(os.path.abspath(self.save_dir))
+        candidates = glob.glob(
+            os.path.join(root, "*", "checkpoint-last.msgpack")
+        ) + glob.glob(os.path.join(root, "*", "emergency.ckpt.msgpack"))
+        return max(candidates, key=os.path.getmtime) if candidates else None
+
     def train(self):
+        # failure recovery, stage 2 (SURVEY.md §5 — the reference can only
+        # reload weights): restart the same command with run.auto_resume and
+        # training continues from the newest full checkpoint (periodic or
+        # emergency) with optimizer state, step count and best-mAP tracking
+        # intact. Resumed runs are not bit-identical to uninterrupted ones
+        # (host RNG shuffle order restarts; an emergency save re-runs its
+        # interrupted epoch).
+        start_epoch = 0
+        resume_from = self.cfg.run.get("resume_checkpoint", None)
+        if resume_from is None and self.cfg.run.get("auto_resume", False):
+            resume_from = self._find_resume_checkpoint()
+        if resume_from:
+            start_epoch = self.load_checkpoint(resume_from)
+        ckpt_every = int(self.cfg.run.get("checkpoint_every", 0))
+        epoch = start_epoch
         try:
-            for epoch in range(self.epochs):
+            for epoch in range(start_epoch, self.epochs):
                 self.train_epoch(epoch)
                 self.valid(epoch, k=self.top_k)
+                if ckpt_every and (epoch + 1) % ckpt_every == 0:
+                    self.save_checkpoint(
+                        os.path.join(self.save_dir, "checkpoint-last.msgpack"),
+                        epoch=epoch + 1,
+                    )
         except Exception:
-            # failure recovery the reference lacks (SURVEY.md §5): dump the
-            # full train state so the run can resume via load_checkpoint
+            # failure recovery, stage 1: dump the full train state so the
+            # run can resume via load_checkpoint / auto_resume
             path = os.path.join(self.save_dir, "emergency.ckpt.msgpack")
             try:
-                self.save_checkpoint(path)
+                self.save_checkpoint(path, epoch=epoch)
                 self.logger.error(f"training crashed — state saved to {path}")
             except Exception:
                 self.logger.error("training crashed; emergency save failed too")
@@ -789,45 +821,79 @@ class BaseTrainer:
         )
         return restored["params"], restored["model_state"]
 
-    def save_checkpoint(self, path: str):
-        """Full train-state checkpoint (params + optimizer + step) — the
-        resume capability the reference lacks (runners/base.py:380-382)."""
+    def _checkpoint_meta(self, epoch: int) -> dict:
+        """Trainer bookkeeping alongside the train state: ``epoch`` is the
+        next epoch to run on resume."""
+        return {
+            "epoch": int(epoch),
+            "global_step": int(self.global_step),
+            "max_mapi2t": float(self.max_mapi2t),
+            "max_mapt2i": float(self.max_mapt2i),
+            "best_epoch_i": int(self.best_epoch_i),
+            "best_epoch_t": int(self.best_epoch_t),
+        }
+
+    def save_checkpoint(self, path: str, epoch: int = 0):
+        """Full train-state checkpoint (params + optimizer + step + trainer
+        bookkeeping) — the resume capability the reference lacks
+        (runners/base.py:380-382)."""
         import flax.serialization
 
+        blob = {"state": self.state._asdict(),
+                "meta": self._checkpoint_meta(epoch)}
         with open(path, "wb") as f:
-            f.write(flax.serialization.to_bytes(self.state._asdict()))
+            f.write(flax.serialization.to_bytes(blob))
         self.logger.info(f"checkpoint saved to {path}")
 
-    def load_checkpoint(self, path: str):
+    def load_checkpoint(self, path: str) -> int:
+        """Restore a full checkpoint; returns the next epoch to run (0 for
+        legacy meta-less checkpoints)."""
         import flax.serialization as ser
 
         with open(path, "rb") as f:
             raw = f.read()
+        raw_tree = ser.msgpack_restore(raw)
+        meta = None
+        if set(raw_tree) == {"state", "meta"}:
+            meta = raw_tree["meta"]
+            raw_tree = raw_tree["state"]
         try:
-            restored = ser.from_bytes(self.state._asdict(), raw)
+            restored = {
+                f: ser.from_state_dict(t, raw_tree[f])
+                for f, t in self.state._asdict().items()
+            }
         except Exception:
             # optimizer-format mismatch: off-mesh runs store the flat
             # BertAdam state, mesh runs the tree state — convert per
             # partition so checkpoints move freely between the two
             from ..optim.bert_adam import convert_bert_adam_state
 
-            raw_tree = ser.msgpack_restore(raw)
-            out = {}
+            restored = {}
             for field, tmpl in self.state._asdict().items():
                 sub = raw_tree[field]
                 if field == "opt_state":
-                    out[field] = {
+                    restored[field] = {
                         k: convert_bert_adam_state(
                             sub[k], tmpl[k], self.state.params[k])
                         for k in tmpl
                     }
                 else:
-                    out[field] = ser.from_state_dict(tmpl, sub)
-            restored = out
+                    restored[field] = ser.from_state_dict(tmpl, sub)
             self.logger.info(
                 "optimizer state format converted (flat↔tree) on restore")
         self.state = TrainState(**restored)
-        self.logger.info(f"checkpoint restored from {path}")
+        start_epoch = 0
+        if meta is not None:
+            self.global_step = int(meta["global_step"])
+            self.max_mapi2t = float(meta["max_mapi2t"])
+            self.max_mapt2i = float(meta["max_mapt2i"])
+            self.best_epoch_i = int(meta["best_epoch_i"])
+            self.best_epoch_t = int(meta["best_epoch_t"])
+            start_epoch = int(meta["epoch"])
+        self.logger.info(
+            f"checkpoint restored from {path} (resuming at epoch "
+            f"{start_epoch})")
+        return start_epoch
 
     def save_checkpoint_orbax(self, directory: str):
         """Orbax checkpoint of the full train state — sharding-aware and the

@@ -194,3 +194,72 @@ def test_save_model_once_dedupes_same_epoch(tmp_path):
     t.save_model_once(str(tmp_path), 1, other="emergency-")  # distinct artifact
     assert calls == [(str(tmp_path), 0, ""), (str(tmp_path), 1, ""),
                      (str(tmp_path), 1, "emergency-")]
+
+
+def test_checkpoint_meta_roundtrip_and_legacy(tmp_path):
+    """save_checkpoint carries trainer bookkeeping (next epoch, step, best
+    trackers); load restores it and returns the resume epoch. A legacy
+    meta-less checkpoint (bare train state) still loads and resumes at 0."""
+    import flax.serialization as ser
+
+    tr = tiny_trainer(tmp_path / "a", "DCMHT", "DCMHTTrainer")
+    tr.train_epoch(0)
+    tr.max_mapi2t, tr.best_epoch_i = 0.75, 3
+    ckpt = str(tmp_path / "full.msgpack")
+    tr.save_checkpoint(ckpt, epoch=4)
+
+    tr2 = tiny_trainer(tmp_path / "b", "DCMHT", "DCMHTTrainer")
+    assert tr2.load_checkpoint(ckpt) == 4
+    assert (tr2.max_mapi2t, tr2.best_epoch_i) == (0.75, 3)
+    assert tr2.global_step == tr.global_step
+    for pa, pb in zip(jax.tree_util.tree_leaves(tr.state.params),
+                      jax.tree_util.tree_leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+    legacy = str(tmp_path / "legacy.msgpack")
+    with open(legacy, "wb") as f:
+        f.write(ser.to_bytes(tr.state._asdict()))
+    tr3 = tiny_trainer(tmp_path / "c", "DCMHT", "DCMHTTrainer")
+    assert tr3.load_checkpoint(legacy) == 0
+    np.testing.assert_array_equal(
+        np.asarray(tr3.state.step), np.asarray(tr.state.step))
+
+
+def test_auto_resume_after_crash(tmp_path, monkeypatch):
+    """Crash in epoch 1 → emergency checkpoint; a restarted run with
+    run.auto_resume finds it under the save root, resumes at epoch 1 with
+    step count and best-mAP tracking intact, and finishes the remaining
+    epochs only."""
+    import pytest as _pytest
+
+    tr_a = tiny_trainer(tmp_path / "a", "DCMHT", "DCMHTTrainer",
+                        run_extra={"epochs": 2})
+    orig = type(tr_a).train_epoch
+
+    def crash_on_1(self, epoch):
+        if epoch == 1:
+            raise RuntimeError("injected crash")
+        return orig(self, epoch)
+
+    monkeypatch.setattr(type(tr_a), "train_epoch", crash_on_1)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        tr_a.train()
+    assert (tmp_path / "a" / "emergency.ckpt.msgpack").exists()
+    steps_per_epoch = tr_a.global_step  # epoch 0 completed
+    best_after_0 = (tr_a.max_mapi2t, tr_a.max_mapt2i)
+    monkeypatch.setattr(type(tr_a), "train_epoch", orig)
+
+    tr_b = tiny_trainer(tmp_path / "b", "DCMHT", "DCMHTTrainer",
+                        run_extra={"epochs": 2, "auto_resume": True,
+                                   "checkpoint_every": 1})
+    tr_b.train()
+    # resumed at epoch 1: exactly one more epoch of steps ran
+    assert tr_b.global_step == 2 * steps_per_epoch
+    assert int(tr_b.state.step) == 2 * steps_per_epoch
+    # best tracking carried across the restart (can only improve)
+    assert tr_b.max_mapi2t >= best_after_0[0]
+    # periodic checkpoint written with the post-epoch resume point
+    assert (tmp_path / "b" / "checkpoint-last.msgpack").exists()
+    tr_c = tiny_trainer(tmp_path / "c", "DCMHT", "DCMHTTrainer")
+    assert tr_c.load_checkpoint(
+        str(tmp_path / "b" / "checkpoint-last.msgpack")) == 2
