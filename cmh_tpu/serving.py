@@ -57,6 +57,7 @@ class RetrievalIndex:
         self.bits = bits
         self._chunks = []
         self._packed: Optional[jax.Array] = None
+        self._host_packed: Optional[np.ndarray] = None
         self._count = 0
 
     def __len__(self) -> int:
@@ -69,6 +70,7 @@ class RetrievalIndex:
         self._chunks.append(np.asarray(pack_bits(codes)))
         self._count += codes.shape[0]
         self._packed = None
+        self._host_packed = None
 
     def _gallery(self) -> jax.Array:
         if self._packed is None:
@@ -102,7 +104,11 @@ class RetrievalIndex:
         assert q.shape[1] == self.bits
         assert 0 < topk <= self._count
         qp = _pack_bits_host(q)
-        gallery = np.concatenate(self._chunks, axis=0)
+        if self._host_packed is None:
+            assert self._chunks, "index is empty"
+            self._host_packed = np.ascontiguousarray(
+                np.concatenate(self._chunks, axis=0))
+        gallery = self._host_packed
         from .native import hash_ops
 
         if hash_ops.available():
