@@ -48,31 +48,74 @@ struct Cand {
     }
 };
 
+// top-k of one query over gallery rows [idx_offset, idx_offset + count),
+// returned ascending by (dist, global idx)
+std::vector<Cand> scan_topk(const uint32_t* qrow, const uint32_t* gallery,
+                            int64_t idx_offset, int64_t count, int words,
+                            int k) {
+    std::vector<Cand> heap;
+    heap.reserve(k);
+    for (int64_t g = 0; g < count; ++g) {
+        int32_t d = row_hamming(qrow, gallery + g * words, words);
+        if ((int64_t)heap.size() < k) {
+            heap.push_back({d, idx_offset + g});
+            std::push_heap(heap.begin(), heap.end());
+        } else if (d < heap.front().dist) {
+            // scanning ascending g: an equal-distance candidate can never
+            // displace the heap max (its index is larger), so strict <
+            std::pop_heap(heap.begin(), heap.end());
+            heap.back() = {d, idx_offset + g};
+            std::push_heap(heap.begin(), heap.end());
+        }
+    }
+    std::sort_heap(heap.begin(), heap.end());  // ascending (dist, idx)
+    return heap;
+}
+
 void topk_query_range(const uint32_t* query, const uint32_t* gallery,
                       int64_t n_gallery, int words, int k, int64_t q_begin,
                       int64_t q_end, int32_t* out_dist, int64_t* out_idx) {
-    std::vector<Cand> heap;
-    heap.reserve(k);
     for (int64_t q = q_begin; q < q_end; ++q) {
-        const uint32_t* qrow = query + q * words;
-        heap.clear();
-        for (int64_t g = 0; g < n_gallery; ++g) {
-            int32_t d = row_hamming(qrow, gallery + g * words, words);
-            if ((int64_t)heap.size() < k) {
-                heap.push_back({d, g});
-                std::push_heap(heap.begin(), heap.end());
-            } else if (d < heap.front().dist) {
-                // scanning ascending g: an equal-distance candidate can never
-                // displace the heap max (its index is larger), so strict <
-                std::pop_heap(heap.begin(), heap.end());
-                heap.back() = {d, g};
-                std::push_heap(heap.begin(), heap.end());
-            }
-        }
-        std::sort_heap(heap.begin(), heap.end());  // ascending (dist, idx)
+        std::vector<Cand> top = scan_topk(query + q * words, gallery, 0,
+                                          n_gallery, words, k);
         for (int i = 0; i < k; ++i) {
-            out_dist[q * k + i] = heap[i].dist;
-            out_idx[q * k + i] = heap[i].idx;
+            out_dist[q * k + i] = top[i].dist;
+            out_idx[q * k + i] = top[i].idx;
+        }
+    }
+}
+
+// few queries, many threads (the online single-query case): split the
+// GALLERY across threads per query and merge the per-range top-ks — the
+// union of range top-ks contains the global top-k, and (dist, idx) keys are
+// unique, so a final sort reproduces the exact lower-index tie order.
+void topk_gallery_split(const uint32_t* query, int64_t n_query,
+                        const uint32_t* gallery, int64_t n_gallery, int words,
+                        int k, int n_threads, int32_t* out_dist,
+                        int64_t* out_idx) {
+    int64_t chunk = (n_gallery + n_threads - 1) / n_threads;
+    for (int64_t q = 0; q < n_query; ++q) {
+        const uint32_t* qrow = query + q * words;
+        std::vector<std::vector<Cand>> parts(n_threads);
+        std::vector<std::thread> workers;
+        workers.reserve(n_threads);
+        for (int t = 0; t < n_threads; ++t) {
+            int64_t begin = t * chunk;
+            int64_t end = std::min(begin + chunk, n_gallery);
+            if (begin >= end) break;
+            workers.emplace_back([&, t, begin, end] {
+                parts[t] = scan_topk(qrow, gallery + begin * words, begin,
+                                     end - begin, words, k);
+            });
+        }
+        for (auto& w : workers) w.join();
+        std::vector<Cand> all;
+        all.reserve((size_t)n_threads * k);
+        for (auto& p : parts) all.insert(all.end(), p.begin(), p.end());
+        std::partial_sort(all.begin(), all.begin() + k, all.end());
+        for (int i = 0; i < k; ++i) {
+            out_dist[q * k + i] = all[i].dist;
+            out_idx[q * k + i] = all[i].idx;
         }
     }
 }
@@ -91,10 +134,15 @@ void hamming_topk(const uint32_t* query, int64_t n_query,
         n_threads = (int)std::thread::hardware_concurrency();
         if (n_threads <= 0) n_threads = 1;
     }
-    if ((int64_t)n_threads > n_query) n_threads = (int)n_query;
     if (n_threads <= 1) {
         topk_query_range(query, gallery, n_gallery, words, k, 0, n_query,
                          out_dist, out_idx);
+        return;
+    }
+    if (n_query < (int64_t)n_threads) {
+        // fewer queries than cores: parallelize inside each query instead
+        topk_gallery_split(query, n_query, gallery, n_gallery, words, k,
+                           n_threads, out_dist, out_idx);
         return;
     }
     std::vector<std::thread> workers;

@@ -178,3 +178,22 @@ def test_search_cpu_fallback_blocks_over_gallery(monkeypatch):
     got_d, got_i = index.search_cpu(queries, topk=9)
     np.testing.assert_array_equal(got_d, want_d)
     np.testing.assert_array_equal(got_i, want_i)
+
+
+def test_native_gallery_split_matches_query_split():
+    """n_query < n_threads routes to the per-query gallery-split path (the
+    online serving case); its merged result must equal the single-thread
+    scan exactly, ties included (bits=8 → heavy ties)."""
+    from cmh_tpu.native import hash_ops
+    from cmh_tpu.serving import _pack_bits_host
+
+    if not hash_ops.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    gp = _pack_bits_host(_codes(997, 8, 12))
+    for nq in (1, 3):
+        qp = _pack_bits_host(_codes(nq, 8, 13))
+        d1, i1 = hash_ops.hamming_topk(qp, gp, 15, n_threads=1)
+        d4, i4 = hash_ops.hamming_topk(qp, gp, 15, n_threads=4)
+        np.testing.assert_array_equal(d1, d4)
+        np.testing.assert_array_equal(i1, i4)
