@@ -831,7 +831,17 @@ class BaseTrainer:
             "max_mapt2i": float(self.max_mapt2i),
             "best_epoch_i": int(self.best_epoch_i),
             "best_epoch_t": int(self.best_epoch_t),
+            "extra": self._extra_checkpoint_meta(),
         }
+
+    def _extra_checkpoint_meta(self) -> dict:
+        """Hook for runner-specific best-tracking (TwDH short dims, UMoED
+        i2i/t2t) so auto-resume carries it; msgpack-serializable scalars
+        only."""
+        return {}
+
+    def _restore_extra_checkpoint_meta(self, extra: dict) -> None:
+        pass
 
     def save_checkpoint(self, path: str, epoch: int = 0):
         """Full train-state checkpoint (params + optimizer + step + trainer
@@ -889,6 +899,7 @@ class BaseTrainer:
             self.max_mapt2i = float(meta["max_mapt2i"])
             self.best_epoch_i = int(meta["best_epoch_i"])
             self.best_epoch_t = int(meta["best_epoch_t"])
+            self._restore_extra_checkpoint_meta(meta.get("extra") or {})
             start_epoch = int(meta["epoch"])
         self.logger.info(
             f"checkpoint restored from {path} (resuming at epoch "

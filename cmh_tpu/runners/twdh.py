@@ -37,6 +37,21 @@ class TwDHTrainer(BaseTrainer):
             self.max_short[str(item)] = {"i2t": 0.0, "t2i": 0.0}
             self.best_epoch_short[str(item)] = {"i2t": 0, "t2i": 0}
 
+    def _extra_checkpoint_meta(self):
+        return {"max_short": self.max_short,
+                "best_epoch_short": self.best_epoch_short}
+
+    def _restore_extra_checkpoint_meta(self, extra):
+        if extra:
+            self.max_short = {
+                s: {d: float(v) for d, v in t.items()}
+                for s, t in extra["max_short"].items()
+            }
+            self.best_epoch_short = {
+                s: {d: int(v) for d, v in t.items()}
+                for s, t in extra["best_epoch_short"].items()
+            }
+
     def _compile_steps(self):
         super()._compile_steps()
         method = self.method

@@ -26,6 +26,19 @@ class UMoEDTrainer(BaseTrainer):
         self.best_epoch_t2t = 0
         super().__init__(cfg, **kwargs)
 
+    def _extra_checkpoint_meta(self):
+        return {"max_mapi2i": float(self.max_mapi2i),
+                "max_mapt2t": float(self.max_mapt2t),
+                "best_epoch_i2i": int(self.best_epoch_i2i),
+                "best_epoch_t2t": int(self.best_epoch_t2t)}
+
+    def _restore_extra_checkpoint_meta(self, extra):
+        if extra:
+            self.max_mapi2i = float(extra["max_mapi2i"])
+            self.max_mapt2t = float(extra["max_mapt2t"])
+            self.best_epoch_i2i = int(extra["best_epoch_i2i"])
+            self.best_epoch_t2t = int(extra["best_epoch_t2t"])
+
     def valid(self, epoch: int, k: Optional[int] = None):
         save_dir = os.path.join(self.save_dir, "mat_files")
         os.makedirs(save_dir, exist_ok=True)

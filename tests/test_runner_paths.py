@@ -263,3 +263,51 @@ def test_auto_resume_after_crash(tmp_path, monkeypatch):
     tr_c = tiny_trainer(tmp_path / "c", "DCMHT", "DCMHTTrainer")
     assert tr_c.load_checkpoint(
         str(tmp_path / "b" / "checkpoint-last.msgpack")) == 2
+
+
+def test_checkpoint_extra_meta_twdh_umoed(tmp_path):
+    """Runner-specific best-tracking (TwDH per-short-dim, UMoED i2i/t2t)
+    rides the checkpoint meta and survives a resume."""
+    tr = tiny_trainer(tmp_path / "t", "TwDH", "TwDHTrainer",
+                      model_extra={"long_dim": 16, "short_info": [8],
+                                   "hash_func": "softmax"})
+    tr.max_short[str(8)]["i2t"] = 0.5
+    tr.best_epoch_short[str(8)]["i2t"] = 2
+    ckpt = str(tmp_path / "t.msgpack")
+    tr.save_checkpoint(ckpt, epoch=3)
+    tr2 = tiny_trainer(tmp_path / "t2", "TwDH", "TwDHTrainer",
+                       model_extra={"long_dim": 16, "short_info": [8],
+                                    "hash_func": "softmax"})
+    assert tr2.load_checkpoint(ckpt) == 3
+    assert tr2.max_short[str(8)] == {"i2t": 0.5, "t2i": 0.0}
+    assert tr2.best_epoch_short[str(8)]["i2t"] == 2
+
+    um = tiny_trainer(tmp_path / "u", "UMoED", "UMoEDTrainer",
+                      model_extra={"hash_func": "linear_subspace",
+                                   "merge_func": "concatenate", "setDim": 8,
+                                   "MoE": False, "fusion": True,
+                                   "hidden_dim": 32, "decoder_heads": 2,
+                                   "decoder_layers": 1, "dropout": 0.1,
+                                   "distance_mode": "cosine",
+                                   "distance": {"mode": "pairwise"},
+                                   "chamfer": {"unif_alpha": 0.8,
+                                               "token_triplet_margin": 0.1},
+                                   "hash_pars": {"triplet_alpha": 1,
+                                                 "triplet_margin": 0.3}})
+    um.max_mapi2i, um.best_epoch_i2i = 0.9, 4
+    ckpt_u = str(tmp_path / "u.msgpack")
+    um.save_checkpoint(ckpt_u, epoch=5)
+    um2 = tiny_trainer(tmp_path / "u2", "UMoED", "UMoEDTrainer",
+                       model_extra={"hash_func": "linear_subspace",
+                                    "merge_func": "concatenate", "setDim": 8,
+                                    "MoE": False, "fusion": True,
+                                    "hidden_dim": 32, "decoder_heads": 2,
+                                    "decoder_layers": 1, "dropout": 0.1,
+                                    "distance_mode": "cosine",
+                                    "distance": {"mode": "pairwise"},
+                                    "chamfer": {"unif_alpha": 0.8,
+                                                "token_triplet_margin": 0.1},
+                                    "hash_pars": {"triplet_alpha": 1,
+                                                  "triplet_margin": 0.3}})
+    assert um2.load_checkpoint(ckpt_u) == 5
+    assert (um2.max_mapi2i, um2.best_epoch_i2i) == (0.9, 4)
