@@ -878,17 +878,24 @@ class BaseTrainer:
             # partition so checkpoints move freely between the two
             from ..optim.bert_adam import convert_bert_adam_state
 
-            restored = {}
-            for field, tmpl in self.state._asdict().items():
-                sub = raw_tree[field]
-                if field == "opt_state":
-                    restored[field] = {
-                        k: convert_bert_adam_state(
-                            sub[k], tmpl[k], self.state.params[k])
-                        for k in tmpl
-                    }
-                else:
-                    restored[field] = ser.from_state_dict(tmpl, sub)
+            try:
+                restored = {}
+                for field, tmpl in self.state._asdict().items():
+                    sub = raw_tree[field]
+                    if field == "opt_state":
+                        restored[field] = {
+                            k: convert_bert_adam_state(
+                                sub[k], tmpl[k], self.state.params[k])
+                            for k in tmpl
+                        }
+                    else:
+                        restored[field] = ser.from_state_dict(tmpl, sub)
+            except Exception as e:
+                raise ValueError(
+                    f"checkpoint at {path} does not match this trainer's "
+                    f"state structure (different method/model config?): "
+                    f"{type(e).__name__}: {e}"
+                ) from e
             self.logger.info(
                 "optimizer state format converted (flat↔tree) on restore")
         self.state = TrainState(**restored)

@@ -311,3 +311,16 @@ def test_checkpoint_extra_meta_twdh_umoed(tmp_path):
                                                   "triplet_margin": 0.3}})
     assert um2.load_checkpoint(ckpt_u) == 5
     assert (um2.max_mapi2i, um2.best_epoch_i2i) == (0.9, 4)
+
+
+def test_load_checkpoint_structure_mismatch_clear_error(tmp_path):
+    """A checkpoint from a different method must fail with a named error
+    pointing at the file, not a deep KeyError."""
+    import pytest as _pytest
+
+    tr = tiny_trainer(tmp_path / "a", "DCMHT", "DCMHTTrainer")
+    ckpt = str(tmp_path / "a.msgpack")
+    tr.save_checkpoint(ckpt, epoch=1)
+    other = tiny_trainer(tmp_path / "b", "MITH", "MITHTrainer")
+    with _pytest.raises(ValueError, match="does not match this trainer"):
+        other.load_checkpoint(ckpt)
