@@ -431,17 +431,91 @@ class BaseTrainer:
         else:
             self.test()
 
+    def _config_fingerprint(self) -> dict:
+        """Identity of this run for resume safety: two runs may only resume
+        each other's checkpoints if every field matches. Several experiments
+        often share one save root (different bits / lr / dataset under
+        ``out/``); structure alone cannot tell them apart — a same-method
+        run with a different lr has an identical state tree and would resume
+        silently with foreign weights and best-mAP tracking."""
+        import hashlib
+        import json
+
+        opt_hash = hashlib.sha256(
+            json.dumps(self._opt_cfg, sort_keys=True).encode()
+        ).hexdigest()[:16]
+        return {
+            "method": str(self.cfg.model.get("arch", "")),
+            "runner": type(self).__name__,
+            "output_dim": int(self.output_dim),
+            "dataset": str(self.cfg.dataset.get("name", "")),
+            "train_num": int(self.train_num),
+            "query_num": int(self.query_num),
+            "retrieval_num": int(self.retrieval_num),
+            "batch_size": int(self.batch_size),
+            "optimizer_hash": opt_hash,
+        }
+
+    @staticmethod
+    def _read_checkpoint_fingerprint(path: str) -> Optional[dict]:
+        """Fingerprint of a checkpoint on disk, via the cheap JSON sidecar
+        when present (written by ``save_checkpoint``), else by parsing the
+        msgpack meta. None for legacy checkpoints without one."""
+        import json
+
+        sidecar = path + ".meta.json"
+        if os.path.isfile(sidecar):
+            try:
+                with open(sidecar) as f:
+                    return json.load(f).get("fingerprint")
+            except (OSError, ValueError):
+                return None
+        try:
+            import flax.serialization as ser
+
+            with open(path, "rb") as f:
+                raw_tree = ser.msgpack_restore(f.read())
+            if isinstance(raw_tree, dict) and "meta" in raw_tree:
+                return raw_tree["meta"].get("fingerprint")
+        except Exception:
+            pass
+        return None
+
     def _find_resume_checkpoint(self) -> Optional[str]:
         """Newest full-state checkpoint under the save ROOT (the directory
         the user passed — each run nests in a timestamped subdir, so a
-        restarted command scans its siblings)."""
+        restarted command scans its siblings) whose config fingerprint
+        matches this run. Foreign siblings — same method with a different
+        lr/batch/dataset, or a different method entirely — are skipped with
+        a logged reason rather than silently resumed; legacy checkpoints
+        without a fingerprint are likewise skipped (pass
+        run.resume_checkpoint explicitly to load one)."""
         import glob
 
         root = os.path.dirname(os.path.abspath(self.save_dir))
         candidates = glob.glob(
             os.path.join(root, "*", "checkpoint-last.msgpack")
         ) + glob.glob(os.path.join(root, "*", "emergency.ckpt.msgpack"))
-        return max(candidates, key=os.path.getmtime) if candidates else None
+        mine = self._config_fingerprint()
+        for path in sorted(candidates, key=os.path.getmtime, reverse=True):
+            fp = self._read_checkpoint_fingerprint(path)
+            if fp == mine:
+                return path
+            if fp is None:
+                self.logger.info(
+                    f"auto_resume: skipping {path} (no config fingerprint — "
+                    "legacy checkpoint; use run.resume_checkpoint to load it)"
+                )
+            else:
+                diff = sorted(
+                    k for k in set(mine) | set(fp)
+                    if mine.get(k) != fp.get(k)
+                )
+                self.logger.info(
+                    f"auto_resume: skipping {path} (config fingerprint "
+                    f"mismatch on {diff})"
+                )
+        return None
 
     def train(self):
         # failure recovery, stage 2 (SURVEY.md §5 — the reference can only
@@ -831,6 +905,7 @@ class BaseTrainer:
             "max_mapt2i": float(self.max_mapt2i),
             "best_epoch_i": int(self.best_epoch_i),
             "best_epoch_t": int(self.best_epoch_t),
+            "fingerprint": self._config_fingerprint(),
             "extra": self._extra_checkpoint_meta(),
         }
 
@@ -849,10 +924,19 @@ class BaseTrainer:
         (runners/base.py:380-382)."""
         import flax.serialization
 
-        blob = {"state": self.state._asdict(),
-                "meta": self._checkpoint_meta(epoch)}
+        meta = self._checkpoint_meta(epoch)
+        blob = {"state": self.state._asdict(), "meta": meta}
         with open(path, "wb") as f:
             f.write(flax.serialization.to_bytes(blob))
+        # JSON sidecar: lets auto-resume check run identity without parsing
+        # the (possibly multi-GB) msgpack state blob
+        import json
+
+        with open(path + ".meta.json", "w") as f:
+            json.dump(
+                {"epoch": meta["epoch"], "fingerprint": meta["fingerprint"]},
+                f, indent=1,
+            )
         self.logger.info(f"checkpoint saved to {path}")
 
     def load_checkpoint(self, path: str) -> int:
@@ -900,6 +984,19 @@ class BaseTrainer:
                 "optimizer state format converted (flat↔tree) on restore")
         self.state = TrainState(**restored)
         start_epoch = 0
+        if meta is not None and meta.get("fingerprint") is not None:
+            fp, mine = meta["fingerprint"], self._config_fingerprint()
+            if fp != mine:
+                # explicit resume_checkpoint: honor the user's choice, but
+                # name the divergence (auto_resume never reaches here with a
+                # mismatch — _find_resume_checkpoint filters)
+                diff = sorted(
+                    k for k in set(mine) | set(fp) if mine.get(k) != fp.get(k)
+                )
+                self.logger.warning(
+                    f"checkpoint config fingerprint differs from this run on "
+                    f"{diff} — resuming anyway (explicitly requested)"
+                )
         if meta is not None:
             self.global_step = int(meta["global_step"])
             self.max_mapi2t = float(meta["max_mapi2t"])

@@ -313,6 +313,56 @@ def test_checkpoint_extra_meta_twdh_umoed(tmp_path):
     assert (um2.max_mapi2i, um2.best_epoch_i2i) == (0.9, 4)
 
 
+def test_auto_resume_skips_foreign_config_checkpoints(tmp_path):
+    """Auto-resume must never silently continue from a sibling run with a
+    different config: the newest checkpoint under the save root wins only
+    if its config fingerprint (method, dims, dataset counts, batch,
+    optimizer hash) matches; foreign and legacy (fingerprint-less)
+    candidates are skipped."""
+    import flax.serialization as ser
+
+    # matching run saves first (oldest mtime)
+    tr_match = tiny_trainer(tmp_path / "x", "DCMHT", "DCMHTTrainer")
+    ck_match = str(tmp_path / "x" / "checkpoint-last.msgpack")
+    tr_match.save_checkpoint(ck_match, epoch=1)
+    assert os.path.exists(ck_match + ".meta.json")
+
+    # same method, different lr — same state STRUCTURE, foreign identity
+    tr_foreign = tiny_trainer(tmp_path / "y", "DCMHT", "DCMHTTrainer",
+                              optimizer_extra={"lr": 0.05})
+    ck_foreign = str(tmp_path / "y" / "checkpoint-last.msgpack")
+    tr_foreign.save_checkpoint(ck_foreign, epoch=7)
+
+    # legacy fingerprint-less checkpoint (bare state, no sidecar)
+    os.makedirs(tmp_path / "z", exist_ok=True)
+    ck_legacy = str(tmp_path / "z" / "checkpoint-last.msgpack")
+    with open(ck_legacy, "wb") as f:
+        f.write(ser.to_bytes(tr_match.state._asdict()))
+
+    # force mtime order: matching oldest, foreign newer, legacy newest
+    now = os.path.getmtime(ck_match)
+    os.utime(ck_match, (now, now))
+    os.utime(ck_foreign, (now + 10, now + 10))
+    os.utime(ck_legacy, (now + 20, now + 20))
+
+    tr_new = tiny_trainer(tmp_path / "w", "DCMHT", "DCMHTTrainer")
+    assert tr_new._find_resume_checkpoint() == ck_match
+    assert tr_new.load_checkpoint(ck_match) == 1
+
+    # fingerprint readable from the msgpack meta too (sidecar deleted)
+    os.remove(ck_match + ".meta.json")
+    assert tr_new._find_resume_checkpoint() == ck_match
+
+    # nothing matches → fresh start (None), not the newest foreign one
+    os.remove(ck_match)
+    assert tr_new._find_resume_checkpoint() is None
+
+    # a DIFFERENT-config trainer resumes its own, not the legacy/newest
+    tr_foreign2 = tiny_trainer(tmp_path / "v", "DCMHT", "DCMHTTrainer",
+                               optimizer_extra={"lr": 0.05})
+    assert tr_foreign2._find_resume_checkpoint() == ck_foreign
+
+
 def test_load_checkpoint_structure_mismatch_clear_error(tmp_path):
     """A checkpoint from a different method must fail with a named error
     pointing at the file, not a deep KeyError."""
