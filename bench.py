@@ -300,6 +300,39 @@ def bench_map_eval_subprocess(timeout_s=1500):
     return None, None
 
 
+def bench_serving_device(n=10_000_000, q=64, bits=64, topk=100, runs=3):
+    """Device-side blocked serving search (serving._search_blocked): exact
+    top-k over a 10M-item packed gallery (80 MB in HBM at 64 bits) without
+    ever materializing the (Q, N) distance matrix. One jitted program =
+    one dispatch + one fetch per run (CLAUDE.md trap #3); queries vary per
+    run (trap #2). Returns comparisons/sec/chip."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmh_tpu.serving import _DEVICE_BLOCK, _search_blocked
+
+    rng = np.random.RandomState(0)
+    words = bits // 32
+    gallery = _sync(jnp.asarray(
+        rng.randint(0, 2**32, size=(n, words), dtype=np.uint32)))
+
+    def qs(seed):
+        r = np.random.RandomState(seed)
+        return _sync(jnp.asarray(
+            r.randint(0, 2**32, size=(q, words), dtype=np.uint32)))
+
+    queries = [qs(s) for s in range(runs + 1)]
+    d, i = _search_blocked(queries[-1], gallery, topk, _DEVICE_BLOCK)
+    float(d.sum() + i.sum())  # compile + warm
+    times = []
+    for qp in queries[:runs]:
+        t0 = time.perf_counter()
+        d, i = _search_blocked(qp, gallery, topk, _DEVICE_BLOCK)
+        float(d.sum() + i.sum())  # data-dependent host fetch = sync
+        times.append(time.perf_counter() - t0)
+    return q * n / sorted(times)[len(times) // 2]
+
+
 def bench_serving_cpu(n=500_000, q=64, bits=64, topk=100, runs=3):
     """Host-side serving scorer (native/hash_ops.cpp): exact top-k over a
     packed gallery on the CPU — no TPU involved, so it runs (and is reported)
@@ -424,6 +457,7 @@ def main():
                 "map_at_all_eval_time_s_16bit_4dir_coco_scale": None,
                 "train_step_pairs_per_sec_per_chip": None,
                 "eval_codegen_items_per_sec_per_chip": None,
+                "serving_device_topk_cmp_per_sec_per_chip_10m": None,
                 "device": "unreachable",
                 "error": "TPU backend unreachable (tunnel down)",
                 **_serving_cpu_extra(),
@@ -444,6 +478,9 @@ def main():
     stage("train step (subprocess)")
     train_rate, codegen_rate = bench_train_subprocess(timeout_s=_budget(1800))
     stage(f"train: {train_rate}, eval codegen: {codegen_rate}")
+    stage("device serving 10M (subprocess)")
+    serving_dev = _child_call("bench.bench_serving_device()", 1200, None)
+    stage(f"device serving: {serving_dev}")
 
     result = {
         "metric": "hamming_comparisons_per_sec_per_chip",
@@ -465,6 +502,9 @@ def main():
             ),
             "eval_codegen_items_per_sec_per_chip": (
                 round(codegen_rate, 2) if codegen_rate is not None else None
+            ),
+            "serving_device_topk_cmp_per_sec_per_chip_10m": (
+                round(serving_dev, 1) if serving_dev is not None else None
             ),
             "device": device_str,
             **_serving_cpu_extra(),

@@ -50,6 +50,53 @@ def _search(q_packed, g_packed, topk: int, interpret: bool = False):
     return -neg_top, idx
 
 
+# device gallery block rows: bounds the live distance tile at (Q, block)
+# int32 instead of (Q, N) — at the module's 100M-item pitch the unblocked
+# matrix would be 25.6 GB for 64 queries, over a v5e chip's HBM
+_DEVICE_BLOCK = 1 << 20
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "block", "interpret"))
+def _search_blocked(q_packed, g_packed, topk: int, block: int,
+                    interpret: bool = False):
+    """Exact blocked top-k: lax.scan over gallery blocks with a running
+    (dist, idx) candidate set, bit-equal to ``_search``.
+
+    Tie order is preserved positionally, no composite key needed: each
+    merge concatenates [carry (sorted, all indices < block start), block
+    rows (in index order)], and ``lax.top_k`` breaks equal keys toward the
+    lower position — so "equal distance → lower gallery index wins" holds
+    inductively across blocks, matching the mAP metrics' stable order."""
+    qn = q_packed.shape[0]
+    n, w = g_packed.shape
+    nblocks = -(-n // block)
+    g = jnp.pad(g_packed, ((0, nblocks * block - n), (0, 0)))
+    g = g.reshape(nblocks, block, w)
+    starts = jnp.arange(nblocks, dtype=jnp.int32) * block
+    sentinel = jnp.iinfo(jnp.int32).max
+    init = (
+        jnp.full((qn, topk), sentinel, jnp.int32),
+        jnp.full((qn, topk), n, jnp.int32),
+    )
+
+    def body(carry, inp):
+        cd, ci = carry
+        gb, start = inp
+        d = hamming_packed(q_packed, gb, interpret=interpret).astype(jnp.int32)
+        gidx = start + jnp.arange(block, dtype=jnp.int32)
+        # zero-padded tail rows would score popcount(q) — mask them out
+        d = jnp.where((gidx < n)[None, :], d, sentinel)
+        all_d = jnp.concatenate([cd, d], axis=1)
+        all_i = jnp.concatenate(
+            [ci, jnp.broadcast_to(gidx[None, :], d.shape)], axis=1
+        )
+        neg, pos = jax.lax.top_k(-all_d, topk)
+        return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+    (dist, idx), _ = jax.lax.scan(body, init, (g, starts))
+    return dist, idx
+
+
 class RetrievalIndex:
     """Append-only binary-code index over one modality's gallery."""
 
@@ -78,19 +125,28 @@ class RetrievalIndex:
             self._packed = jnp.asarray(np.concatenate(self._chunks, axis=0))
         return self._packed
 
-    def search(self, query_codes, topk: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, query_codes, topk: int = 10,
+               block: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k by Hamming distance.
 
         Returns (distances (Q, topk) int, indices (Q, topk) int) in
-        ascending-distance order, ties by insertion order.
+        ascending-distance order, ties by insertion order. Galleries larger
+        than ``block`` rows (default ``_DEVICE_BLOCK``) stream through the
+        blocked merge so the full (Q, N) distance matrix never
+        materializes in HBM; results are bit-equal either way.
         """
         q = jnp.asarray(query_codes, jnp.float32)
         assert q.shape[1] == self.bits
+        assert 0 < topk <= self._count
         qp = pack_bits(q)
         gallery = self._gallery()
         # Pallas compiles natively on TPU; CPU (tests) runs interpreted
         interpret = jax.default_backend() == "cpu"
-        dist, idx = _search(qp, gallery, topk, interpret)
+        block = _DEVICE_BLOCK if block is None else block
+        if gallery.shape[0] > block:
+            dist, idx = _search_blocked(qp, gallery, topk, block, interpret)
+        else:
+            dist, idx = _search(qp, gallery, topk, interpret)
         return np.asarray(dist), np.asarray(idx)
 
     def search_cpu(self, query_codes, topk: int = 10,

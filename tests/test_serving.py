@@ -159,6 +159,29 @@ def test_deployment_path_export_then_cpu_serve(tmp_path):
     assert d_cpu.shape == (B, 3) and i_cpu.dtype == np.int64
 
 
+def test_device_search_blocked_matches_unblocked():
+    """Device-side blocked search (gallery streamed through lax.scan, no
+    (Q, N) distance matrix) must be bit-equal to the direct path — forcing
+    tiny blocks (13 rows, incl. a ragged tail) with heavy ties (bits=8) so
+    tie groups span block boundaries, and topk == len(index) so every
+    rank, not just the easy head, must match."""
+    bits = 8
+    gallery = _codes(150, bits, 20)
+    queries = _codes(6, bits, 21)
+    index = RetrievalIndex(bits)
+    index.add(gallery)
+    want_d, want_i = index.search(queries, topk=150, block=1 << 20)
+    for block in (13, 64, 150):
+        got_d, got_i = index.search(queries, topk=150, block=block)
+        np.testing.assert_array_equal(got_d, want_d)
+        np.testing.assert_array_equal(got_i, want_i)
+    # and against the independent CPU scorer at a normal topk
+    d_blk, i_blk = index.search(queries, topk=9, block=13)
+    d_cpu, i_cpu = index.search_cpu(queries, topk=9)
+    np.testing.assert_array_equal(d_blk, d_cpu)
+    np.testing.assert_array_equal(i_blk, i_cpu)
+
+
 def test_search_cpu_fallback_blocks_over_gallery(monkeypatch):
     """The numpy fallback merges per-gallery-block candidates via the
     composite dist·N+idx key — forcing tiny blocks (7 rows) with heavy ties
