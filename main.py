@@ -53,11 +53,20 @@ def maybe_init_distributed(cfg):
     (/root/reference/runners/base.py:82-96). Single-host runs skip this
     entirely. Split out of main() so the argument plumbing is unit-testable
     with a mocked ``jax.distributed.initialize`` (a typo here would otherwise
-    only surface on a real multi-host pod)."""
+    only surface on a real multi-host pod); the real rendezvous is exercised
+    by a 2-process CPU run in tests/test_parallel.py."""
     if not cfg.run.get("multi_host", False):
         return False
     import jax
 
+    if getattr(jax.config, "jax_platforms", None) == "cpu":
+        # cross-process collectives on the CPU backend need gloo (TPU pods
+        # ride ICI/DCN natively) — makes CPU multi-process runs, incl. the
+        # rendezvous test, actually able to communicate
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
     jax.distributed.initialize(
         coordinator_address="{}:{}".format(
             cfg.run.get("distributed_addr", "localhost"),
