@@ -58,11 +58,17 @@ def export_encoders(method, variables: Any, path: str, batch: int | None = None,
 
     # eval-time kwargs beyond (inputs, train): currently TwDH's `trans`
     extra = {}
-    if method_state is not None and "trans" in method_state:
-        sig = inspect.signature(type(method.module).encode_image)
-        if "trans" in sig.parameters:
-            extra["trans"] = jax.tree_util.tree_map(
-                jnp.asarray, method_state["trans"])
+    sig = inspect.signature(type(method.module).encode_image)
+    if "trans" in sig.parameters:
+        if not (method_state and method_state.get("trans")):
+            raise ValueError(
+                "this method folds eval-time 'trans' constants into its "
+                "codes (TwDH short dims) — pass "
+                "method_state=method.eval_method_state(); exporting without "
+                "them would silently drop every short-code head"
+            )
+        extra["trans"] = jax.tree_util.tree_map(
+            jnp.asarray, method_state["trans"])
 
     def encode_image(image):                        # (B, H, W, 3) float32
         h = method.module.apply(
@@ -168,10 +174,12 @@ def main(argv=None):
     params, model_state = BaseTrainer.load_model_file(
         args.model, variables["params"],
         {k: v for k, v in variables.items() if k != "params"})
-    trans = getattr(method, "_trans", None)
+    # explicit method-level accessor (raises on a trans-less TwDH rather
+    # than silently exporting long-code-only encoders)
+    method_state = method.eval_method_state() or None
     export_encoders(method, {"params": params, **model_state}, args.out,
                     batch=args.batch, max_words=max_words,
-                    method_state={"trans": trans} if trans else None)
+                    method_state=method_state)
     print(f"exported encoders to {args.out}")
 
 

@@ -111,6 +111,13 @@ class Method:
         """Width of the binarized eval code buffers."""
         return self.output_dim
 
+    def eval_method_state(self) -> Dict[str, Any]:
+        """Eval-time constants a deployed encoder must bake in alongside the
+        weights (cmh_tpu.export). Methods whose encode path consumes parts
+        of method_state override this — TwDH's short-dim ``trans``
+        projections; default: none."""
+        return {}
+
     # ------------------------------------------------------------ properties
     @property
     def output_dim(self) -> int:

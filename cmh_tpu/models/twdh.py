@@ -196,3 +196,15 @@ class TwDHMethod(Method):
                               for k, v in self._short_centers.items()},
             "trans": {k: jnp.asarray(v) for k, v in self._trans.items()},
         }
+
+    def eval_method_state(self) -> Dict[str, Any]:
+        """Short-dim ``trans`` projections the eval/export encode path folds
+        into the codes — fails loudly rather than letting an export silently
+        ship long-code-only encoders."""
+        trans = {k: jnp.asarray(v) for k, v in (self._trans or {}).items()}
+        if not trans:
+            raise ValueError(
+                "TwDH has no trans matrices loaded — every short-code head "
+                "would be missing from eval/export"
+            )
+        return {"trans": trans}

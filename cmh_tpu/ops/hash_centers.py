@@ -107,7 +107,14 @@ def _bce_probs_bwd(res, g):
     probs, targets = res
     denom = jnp.maximum(probs * (1.0 - probs), 1e-12)
     grad_p = g * (probs - targets) / denom / probs.size
-    return grad_p, jnp.zeros_like(targets)
+    # true target-side gradient (matches autodiff of the clamped forward):
+    # d/dy[-mean(y·log p + (1−y)·log(1−p))] = (log(1−p) − log p)/N — current
+    # losses pass label-derived constants, but a future loss differentiating
+    # through targets must not get silent zeros
+    log_p = jnp.maximum(jnp.log(jnp.maximum(probs, 0.0)), -100.0)
+    log_1mp = jnp.maximum(jnp.log(jnp.maximum(1.0 - probs, 0.0)), -100.0)
+    grad_t = g * (log_1mp - log_p) / probs.size
+    return grad_p, grad_t
 
 
 bce_probs.defvjp(_bce_probs_fwd, _bce_probs_bwd)

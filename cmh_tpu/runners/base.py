@@ -711,56 +711,60 @@ class BaseTrainer:
             buffers, hashes, jnp.asarray(idx), jnp.asarray(valid)
         )
 
-    def get_code(self, data_loader, length: int):
-        k = self.method.eval_code_dims()
-        img_buffer = jnp.zeros((length, k), dtype=jnp.float32)
-        txt_buffer = jnp.zeros((length, k), dtype=jnp.float32)
-        # chunked path: only when the generic encode applies (a subclass
-        # overriding generate_hash would be silently bypassed by the scan)
-        use_scan = (
-            self.scan_steps > 1
-            and type(self).generate_hash is BaseTrainer.generate_hash
-        )
+    def _run_encode_chunks(self, data_loader, buffers, scan_call, step_call,
+                           use_scan: bool):
+        """Shared eval-loop chunking: ``scan_steps`` loader batches per
+        ``scan_call`` dispatch when ``use_scan``; ragged tails reuse the
+        single-step ``step_call`` program (a distinct scan length is a
+        distinct XLA program — 10–25 min per cold compile via the tunnel),
+        except a loader shorter than one chunk, which scans whole (the same
+        compiled program every eval of that loader)."""
         buf = []
         full_flushed = False
         for batch in data_loader:
             if use_scan:
                 buf.append(batch)
                 if len(buf) == self.scan_steps:
-                    img_buffer, txt_buffer = self._encode_scan(
-                        self.state.params, self.state.model_state,
-                        (img_buffer, txt_buffer),
-                        self._put_batch(self._stack_host_batches(buf)),
-                    )
+                    buffers = scan_call(buffers, buf)
                     full_flushed = True
                     buf = []
                 continue
-            device_batch = self._put_batch(batch)
-            img_hash, txt_hash = self.generate_hash(device_batch)
-            img_buffer, txt_buffer = self._scatter_codes(
-                (img_buffer, txt_buffer), (img_hash, txt_hash),
-                batch["index"], batch["valid"],
-            )
+            buffers = step_call(buffers, batch)
         if buf and not full_flushed and len(buf) > 1:
-            # loader shorter than scan_steps: one whole-loader scan — the
-            # same compiled program for every eval of this loader
-            img_buffer, txt_buffer = self._encode_scan(
-                self.state.params, self.state.model_state,
-                (img_buffer, txt_buffer),
-                self._put_batch(self._stack_host_batches(buf)),
-            )
+            buffers = scan_call(buffers, buf)
         elif buf:
-            # ragged tail after full chunks: reuse the single-step encode
-            # program (a distinct scan length = a distinct XLA program;
-            # see train_epoch tail comment)
             for batch in buf:
-                device_batch = self._put_batch(batch)
-                img_hash, txt_hash = self.generate_hash(device_batch)
-                img_buffer, txt_buffer = self._scatter_codes(
-                    (img_buffer, txt_buffer), (img_hash, txt_hash),
-                    batch["index"], batch["valid"],
-                )
-        return img_buffer, txt_buffer
+                buffers = step_call(buffers, batch)
+        return buffers
+
+    def get_code(self, data_loader, length: int):
+        k = self.method.eval_code_dims()
+        buffers = (
+            jnp.zeros((length, k), dtype=jnp.float32),
+            jnp.zeros((length, k), dtype=jnp.float32),
+        )
+        # chunked path: only when the generic encode applies (a subclass
+        # overriding generate_hash would be silently bypassed by the scan)
+        use_scan = (
+            self.scan_steps > 1
+            and type(self).generate_hash is BaseTrainer.generate_hash
+        )
+
+        def scan_call(bufs, batches):
+            return self._encode_scan(
+                self.state.params, self.state.model_state, bufs,
+                self._put_batch(self._stack_host_batches(batches)),
+            )
+
+        def step_call(bufs, batch):
+            img_hash, txt_hash = self.generate_hash(self._put_batch(batch))
+            return self._scatter_codes(
+                bufs, (img_hash, txt_hash), batch["index"], batch["valid"]
+            )
+
+        return self._run_encode_chunks(
+            data_loader, buffers, scan_call, step_call, use_scan
+        )
 
     def valid(self, epoch: int, k: Optional[int] = None):
         assert self.query_loader is not None and self.retrieval_loader is not None

@@ -74,6 +74,34 @@ class TwDHTrainer(BaseTrainer):
             )
             return img_long, img_short, txt_long, txt_short
 
+        def encode_scan(params, model_state, method_state, buffers,
+                        stacked_batch):
+            """Chunked TwDH eval codegen: N loader batches encoded (long +
+            every short dim) and scattered into the 4-part buffer pytree in
+            ONE dispatch — without this, TwDH eval alone kept paying the
+            ~40ms tunnel relay per batch that run.scan_steps removes for
+            every other method (base.encode_scan's multi-code analogue)."""
+            make = method.make_hash_code
+
+            def body(bufs, b):
+                il, ish, tl, tsh = encode_step(
+                    params, model_state, method_state, b
+                )
+
+                def upd(buf, h):
+                    code = make(h).astype(buf.dtype)
+                    safe = jnp.where(
+                        b["valid"].astype(bool), b["index"], buf.shape[0]
+                    )
+                    return buf.at[safe].set(code, mode="drop")
+
+                return jax.tree_util.tree_map(
+                    upd, bufs, (il, tl, ish, tsh)
+                ), None
+
+            out, _ = jax.lax.scan(body, buffers, stacked_batch)
+            return out
+
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated
 
@@ -85,6 +113,7 @@ class TwDHTrainer(BaseTrainer):
             )
         else:
             self._encode_multi = jax.jit(encode_step)
+        self._encode_multi_scan = jax.jit(encode_scan, donate_argnums=(3,))
 
     def get_code(self, data_loader, length: int):
         short_dims = self.method.short_dims
@@ -94,17 +123,27 @@ class TwDHTrainer(BaseTrainer):
             {str(d): jnp.zeros((length, d), jnp.float32) for d in short_dims},
             {str(d): jnp.zeros((length, d), jnp.float32) for d in short_dims},
         )
-        for batch in data_loader:
-            db = self._put_batch(batch)
+
+        def scan_call(bufs, batches):
+            return self._encode_multi_scan(
+                self.state.params, self.state.model_state,
+                self.state.method_state, bufs,
+                self._put_batch(self._stack_host_batches(batches)),
+            )
+
+        def step_call(bufs, batch):
             il, ish, tl, tsh = self._encode_multi(
                 self.state.params, self.state.model_state,
-                self.state.method_state, db,
+                self.state.method_state, self._put_batch(batch),
             )
             # device-side scatter (base._scatter_codes) — no per-batch fetch
-            buffers = self._scatter_codes(
-                buffers, (il, tl, ish, tsh), batch["index"], batch["valid"]
+            return self._scatter_codes(
+                bufs, (il, tl, ish, tsh), batch["index"], batch["valid"]
             )
-        return buffers
+
+        return self._run_encode_chunks(
+            data_loader, buffers, scan_call, step_call, self.scan_steps > 1
+        )
 
     def valid(self, epoch: int, k: Optional[int] = None):
         save_dir = os.path.join(self.save_dir, "mat_files")

@@ -226,6 +226,45 @@ def probe_mith(data_dir, clip_ckpt64, scratch, mode):
     return _diverge(runs)
 
 
+def probe_mith_seed_envelope(data_dir, clip_ckpt64, scratch,
+                             seeds=(1814, 1815, 1816, 1817)):
+    """Reference-vs-reference across INIT SEEDS (same data, same batch
+    order): the intrinsic statistical width of the mAP trajectory at this
+    toy scale. The weight/bank jitter modes above under-measure MITH's
+    cross-framework divergence channel (its banks inherit full forward
+    noise, not per-step weight-sized noise), so the E2E test derives its
+    late-epoch bound from this envelope instead: drift that stays a small
+    fraction of the reseed spread cannot indicate a seam bug."""
+    ref_registry = load_reference()
+    RefMITH = ref_registry.get_model_class("MITH")
+
+    class ConstructibleMITH(RefMITH):
+        def load_backbone(self, clipPath, return_patches=False):
+            o = super().load_backbone(clipPath, return_patches)
+            return (o[0], o[2]) if len(o) == 3 else o
+
+    mapping = ref_registry.mapping["model_name_mapping"]
+    mapping["MITH"] = ConstructibleMITH
+    try:
+        rows_all = []
+        for seed in seeds:
+            cfg = make_mith_cfg_dict(
+                data_dir, clip_ckpt64, os.path.join(scratch, f"mith_s{seed}"))
+            cfg["run"]["seed"] = seed
+            os.makedirs(cfg["run"]["save_dir"], exist_ok=True)
+            _, rows, _ = run_reference(cfg, runner_arch="MITHTrainer")
+            rows_all.append(np.asarray(rows))
+    finally:
+        mapping["MITH"] = RefMITH
+    arr = np.stack(rows_all)  # (seeds, valids, 4 directions)
+    spread = arr.max(axis=0) - arr.min(axis=0)
+    return {
+        "seeds": list(seeds),
+        "map_spread_per_valid_max": spread.max(axis=-1).tolist(),
+        "map_rows_per_seed": arr.tolist(),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="tests/artifacts/noise_floor.json")
@@ -254,6 +293,8 @@ def main():
             data_dir, ckpt32, scratch, mode)
         result["variants"][f"mith_{mode}"] = probe_mith(
             data_dir, ckpt64, scratch, mode)
+    result["variants"]["mith_seed_envelope"] = probe_mith_seed_envelope(
+        data_dir, ckpt64, scratch)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)

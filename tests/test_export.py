@@ -162,11 +162,24 @@ def test_export_twdh_pytree_codes(tmp_path):
         jax.random.PRNGKey(2),
         {"image": image, "text": text, "key_padding_mask": kpm})
 
-    trans = {k: jnp.asarray(v) for k, v in method._trans.items()}
+    method_state = method.eval_method_state()  # the export CLI's accessor
+    trans = method_state["trans"]
     path = str(tmp_path / "twdh.cmh")
     export_encoders(method, variables, path, max_words=W,
-                    method_state={"trans": trans})
+                    method_state=method_state)
     enc = load_encoders(path)
+
+    # guard rails: a TwDH export without trans must fail loudly, not ship
+    # long-code-only encoders
+    import pytest
+    with pytest.raises(ValueError, match="trans"):
+        export_encoders(method, variables, str(tmp_path / "bad.cmh"),
+                        max_words=W)
+    no_trans = TwDHMethod(method.module, method.loss, cfg_model,
+                          train_num=32, long_center=method._long_center,
+                          short_centers=method._short_centers, trans={})
+    with pytest.raises(ValueError, match="short-code"):
+        no_trans.eval_method_state()
 
     for B, seed in ((2, 5), (4, 6)):
         image, text, kpm = _rand_batch(method, B, W, seed)

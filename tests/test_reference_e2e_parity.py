@@ -15,6 +15,7 @@ BertAdam schedule off-by-one, BatchNorm semantics, loss scaling — shows up
 as trajectory drift here.
 """
 
+import json
 import os
 import sys
 
@@ -500,11 +501,20 @@ def test_mith_end_to_end_training_parity(data_dir, clip_ckpt64, tmp_path):
     banks are captured post-build and injected into our method_state.
 
     Tolerances are graduated: init row must be numerically exact and epoch 1
-    within ±0.005, but later epochs allow ±0.03 — MITH's loss (InfoNCE
-    exp/log terms at magnitude ~200) amplifies fp32 op-order noise
-    chaotically: measured per-step losses agree to 2e-6 RELATIVE at step 0
-    (seam bugs would show there) and the divergence doubles per step, which
-    at a 50-query toy gallery moves mAP beyond ±0.005 by epoch 2."""
+    within ±0.005 — MITH's loss (InfoNCE exp/log terms at magnitude ~200)
+    amplifies fp32 op-order noise chaotically: measured per-step losses
+    agree to 2e-6 RELATIVE at step 0 (seam bugs would show there) and the
+    divergence doubles per step, moving mAP beyond ±0.005 by epoch 2 at a
+    50-query toy gallery. The late-epoch bound is DERIVED from the
+    committed noise-floor artifact (tests/artifacts/noise_floor.json,
+    regenerable via tests/noise_floor_probe.py): the reference's own
+    cross-seed mAP spread at the post-epoch-1 valids (mith_seed_envelope,
+    measured ≈0.131) is the trajectory's intrinsic statistical width at
+    this scale, and the bound is a QUARTER of its tightest late row —
+    drift 4× inside the reseed envelope cannot indicate a seam bug
+    (measured actual drift: 0.018, ~7× inside). The weight/bank jitter
+    modes under-measure this channel (mith_step_1e-5 ≤ 0.0008) because
+    MITH's banks inherit full forward noise, not weight-sized noise."""
     ref_registry = load_reference()
     from cmh_tpu.models.torch_import import mith_from_torch_state
 
@@ -559,9 +569,20 @@ def test_mith_end_to_end_training_parity(data_dir, clip_ckpt64, tmp_path):
         assert diff[1].max() < 5e-3, (
             f"epoch-1 mAP drift exceeds ±0.005: diff={diff[1]}"
         )
-        assert diff.max() < 3e-2, (
-            "mAP trajectory drift exceeds the chaotic-amplification bound:\n"
-            f"ref={ref_arr}\nours={our_arr}\ndiff={diff}"
+        # derived late bound: quarter of the reference's own cross-seed
+        # spread at the same valids (see docstring)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "artifacts", "noise_floor.json")) as f:
+            envelope = json.load(f)["variants"]["mith_seed_envelope"]
+        late_bound = 0.25 * min(envelope["map_spread_per_valid_max"][2:])
+        assert late_bound < 0.04, (
+            "reseed envelope widened unexpectedly — re-examine the probe "
+            f"before accepting a bound of {late_bound}"
+        )
+        assert diff.max() < late_bound, (
+            f"mAP trajectory drift exceeds the derived noise bound "
+            f"{late_bound:.4f} (quarter of the reference's cross-seed "
+            f"spread):\nref={ref_arr}\nours={our_arr}\ndiff={diff}"
         )
     finally:
         mapping["MITH"] = RefMITH

@@ -103,6 +103,32 @@ def test_scan_steps_epoch_and_eval_match_per_step(tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_twdh_eval_scan_matches_per_step(tmp_path):
+    """TwDH's multi-code eval (long + per-short-dim buffers) honors
+    run.scan_steps through its own encode scan — previously the one eval
+    path still paying a per-batch dispatch. scan_steps=3 over a 4-batch
+    query loader (chunk + ragged tail) must reproduce the per-step buffers
+    exactly, for every code dim."""
+    model = {"hash_func": "softmax", "long_dim": 16, "short_info": [8],
+             "numclass": 4, "quan_alpha": 0.5, "low_rate": 0.1}
+    run = {"shuffle": False, "train_num": 32, "query_num": 64,
+           "batch_size": 16}
+    tr_a = tiny_trainer(tmp_path / "a", "TwDH", "TwDHTrainer",
+                        model_extra=dict(model), run_extra=dict(run))
+    tr_b = tiny_trainer(tmp_path / "b", "TwDH", "TwDHTrainer",
+                        model_extra=dict(model),
+                        run_extra=dict(run, scan_steps=3))
+    assert len(tr_b.query_loader) == 4  # chunk of 3 + ragged tail of 1
+
+    bufs_a = tr_a.get_code(tr_a.query_loader, tr_a.query_num)
+    bufs_b = tr_b.get_code(tr_b.query_loader, tr_b.query_num)
+    for a, b in zip(jax.tree_util.tree_leaves(bufs_a),
+                    jax.tree_util.tree_leaves(bufs_b)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_scan_steps_longer_than_epoch_whole_loader_scan(tmp_path):
     """When the loader is shorter than scan_steps (the full-scale epoch A/B
     protocol: 10 train batches at scan_steps=25), the whole epoch runs as ONE

@@ -73,6 +73,19 @@ def test_bce_probs_matches_torch_bceloss():
     got = float(bce_probs(jnp.asarray(p), jnp.asarray(t)))
     assert abs(got - want) < 1e-5
 
+    # BOTH gradients match torch (the custom VJP must not silently
+    # zero the target side — a loss differentiating through label-smoothing
+    # targets would otherwise train wrong with no error)
+    tp = torch.tensor(p, requires_grad=True)
+    tt = torch.tensor(t, requires_grad=True)
+    torch.nn.BCELoss()(tp, tt).backward()
+    gp, gt = jax.grad(bce_probs, argnums=(0, 1))(
+        jnp.asarray(p), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(gp), tp.grad.numpy(),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt), tt.grad.numpy(),
+                               rtol=1e-4, atol=1e-6)
+
 
 def test_hadamard_centers():
     h = hadamard_matrix(8)
