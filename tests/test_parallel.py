@@ -378,3 +378,66 @@ def test_multi_host_rendezvous_two_processes():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, out[-2000:]
         assert f"@RENDEZVOUS_OK@ pid={i}" in out
+
+
+def test_multi_host_dp_train_matches_single_process(tmp_path):
+    """Multi-host data-parallel TRAINING, not just rendezvous: two processes
+    with 4 virtual devices each form one 8-device dp mesh through the real
+    trainer (global batch sharded ACROSS the process boundary, gradient
+    psum over gloo) and must reproduce the single-process 8-device run of
+    the identical config — the TPU-native equivalent of the reference's
+    DDP+NCCL multi-node path (/root/reference/runners/base.py:82-96,
+    172-197), exercised end to end."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "dist_dp_train_worker.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", CMH_TPU_PLATFORM="cpu")
+    env.pop("XLA_FLAGS", None)  # worker pins its own 4-device flag
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo,
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("multi-host train timed out (overloaded 1-core host)")
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, out[-3000:]
+        assert f"@DP_TRAIN_OK@ pid={i}" in out
+
+    # single-process 8-device oracle (this test process already runs on the
+    # virtual 8-device CPU mesh) with the identical config
+    from util_methods import tiny_trainer
+
+    tr = tiny_trainer(tmp_path / "single", "DCMHT", "DCMHTTrainer",
+                      model_extra={"hash_func": "softmax"},
+                      run_extra={"distribute": True, "shuffle": False})
+    tr.train_epoch(0)
+    want = [np.asarray(l) for l in jax.tree_util.tree_leaves(tr.state.params)]
+    got = np.load(os.path.join(tmp_path, "params_mh.npz"))
+    assert len(got.files) == len(want)
+    # gloo's cross-process ring allreduce reassociates the gradient sum vs
+    # the single-process XLA reduction, and BertAdam's m/sqrt(v)
+    # normalization amplifies those ulp-level gradient differences to
+    # ~3e-5 in weight space after 2 steps (measured); a structural bug
+    # (missing psum, wrong shard) shows as ~1e-2+. Same-process DP keeps
+    # its exactness bar in test_dp_matches_single_device.
+    for w, key in zip(want, got.files):
+        np.testing.assert_allclose(got[key], w, rtol=1e-3, atol=5e-4)
