@@ -56,45 +56,117 @@ def _search(q_packed, g_packed, topk: int, interpret: bool = False):
 _DEVICE_BLOCK = 1 << 20
 
 
-@functools.partial(jax.jit, static_argnames=("topk", "block", "interpret"))
-def _search_blocked(q_packed, g_packed, topk: int, block: int,
-                    interpret: bool = False):
-    """Exact blocked top-k: lax.scan over gallery blocks with a running
-    (dist, idx) candidate set, bit-equal to ``_search``.
+def _topk_scan(q_packed, g_rows, topk: int, block: int, interpret: bool,
+               start, n_valid):
+    """Exact top-k over ``g_rows`` whose global indices are
+    ``start + arange(rows)``; rows at global index ≥ ``n_valid`` are
+    padding and masked to the sentinel distance. Blocks of ``block`` rows
+    stream through a lax.scan with a running (dist, idx) candidate set,
+    so the live distance tile is (Q, block), never (Q, rows).
 
     Tie order is preserved positionally, no composite key needed: each
     merge concatenates [carry (sorted, all indices < block start), block
     rows (in index order)], and ``lax.top_k`` breaks equal keys toward the
     lower position — so "equal distance → lower gallery index wins" holds
-    inductively across blocks, matching the mAP metrics' stable order."""
+    inductively across blocks, matching the mAP metrics' stable order.
+    ``start`` may be traced (the sharded path passes the device offset)."""
     qn = q_packed.shape[0]
-    n, w = g_packed.shape
-    nblocks = -(-n // block)
-    g = jnp.pad(g_packed, ((0, nblocks * block - n), (0, 0)))
-    g = g.reshape(nblocks, block, w)
-    starts = jnp.arange(nblocks, dtype=jnp.int32) * block
+    rows, w = g_rows.shape
     sentinel = jnp.iinfo(jnp.int32).max
+    start = jnp.asarray(start, jnp.int32)
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+
+    def score(gb, offset):
+        d = hamming_packed(q_packed, gb, interpret=interpret).astype(jnp.int32)
+        local_idx = offset + jnp.arange(gb.shape[0], dtype=jnp.int32)
+        gidx = start + local_idx
+        # zero-padded rows would score popcount(q) — mask both the scan's
+        # block padding (local_idx ≥ rows; their gidx would collide with
+        # the NEXT shard's real rows in the sharded path) and global
+        # padding (gidx ≥ n_valid)
+        ok = (local_idx < rows) & (gidx < n_valid)
+        d = jnp.where(ok[None, :], d, sentinel)
+        return d, jnp.broadcast_to(gidx[None, :], d.shape)
+
+    if rows <= block:  # single tile: no scan machinery
+        d, gi = score(g_rows, jnp.int32(0))
+        neg, pos = jax.lax.top_k(-d, topk)
+        return -neg, jnp.take_along_axis(gi, pos, axis=1)
+
+    nblocks = -(-rows // block)
+    g = jnp.pad(g_rows, ((0, nblocks * block - rows), (0, 0)))
+    g = g.reshape(nblocks, block, w)
+    offsets = jnp.arange(nblocks, dtype=jnp.int32) * block
     init = (
         jnp.full((qn, topk), sentinel, jnp.int32),
-        jnp.full((qn, topk), n, jnp.int32),
+        jnp.full((qn, topk), n_valid, jnp.int32),
     )
 
     def body(carry, inp):
         cd, ci = carry
-        gb, start = inp
-        d = hamming_packed(q_packed, gb, interpret=interpret).astype(jnp.int32)
-        gidx = start + jnp.arange(block, dtype=jnp.int32)
-        # zero-padded tail rows would score popcount(q) — mask them out
-        d = jnp.where((gidx < n)[None, :], d, sentinel)
+        gb, offset = inp
+        d, gi = score(gb, offset)
         all_d = jnp.concatenate([cd, d], axis=1)
-        all_i = jnp.concatenate(
-            [ci, jnp.broadcast_to(gidx[None, :], d.shape)], axis=1
-        )
+        all_i = jnp.concatenate([ci, gi], axis=1)
         neg, pos = jax.lax.top_k(-all_d, topk)
         return (-neg, jnp.take_along_axis(all_i, pos, axis=1)), None
 
-    (dist, idx), _ = jax.lax.scan(body, init, (g, starts))
+    (dist, idx), _ = jax.lax.scan(body, init, (g, offsets))
     return dist, idx
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "block", "interpret"))
+def _search_blocked(q_packed, g_packed, topk: int, block: int,
+                    interpret: bool = False):
+    """Single-device exact blocked top-k, bit-equal to ``_search``."""
+    n = g_packed.shape[0]
+    return _topk_scan(q_packed, g_packed, topk, block, interpret, 0, n)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_search(mesh, topk: int, block: int, interpret: bool,
+                          local_n: int, n: int):
+    """Compiled gallery-sharded searcher, cached per (mesh, config) so
+    repeated serving calls reuse one XLA program."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+
+    def local_fn(q, g_local):
+        d = jax.lax.axis_index(axes)
+        return _topk_scan(q, g_local, topk, block, interpret,
+                          d.astype(jnp.int32) * local_n, n)
+
+    def run(q, g):
+        dist, idx = shard_map(
+            local_fn, mesh=mesh, in_specs=(P(), P(axes)),
+            out_specs=(P(None, axes), P(None, axes)), check_vma=False,
+        )(q, g)  # (Q, ndev·topk) candidates, shard-ordered
+        neg, pos = jax.lax.top_k(-dist, topk)
+        return -neg, jnp.take_along_axis(idx, pos, axis=1)
+
+    return jax.jit(run)
+
+
+def _search_sharded(q_packed, g_packed, topk: int, mesh, block: int,
+                    interpret: bool = False):
+    """Gallery-sharded multi-chip top-k: the gallery rows shard jointly
+    over every mesh axis, each device runs the blocked candidate scan on
+    its shard (queries replicated), and one all-gather of the
+    device-count×topk candidates feeds a final replicated merge. Candidate
+    blocks arrive in shard order (ascending global index) with each shard
+    internally sorted, so ``lax.top_k``'s positional tie-break reproduces
+    the single-device stable order exactly."""
+    ndev = mesh.size
+    n = g_packed.shape[0]
+    local_n = -(-n // ndev)
+    assert 0 < topk <= local_n, (
+        f"topk={topk} must fit one gallery shard ({local_n} rows)"
+    )
+    g = jnp.pad(g_packed, ((0, local_n * ndev - n), (0, 0)))
+    run = _build_sharded_search(mesh, topk, block, interpret, local_n, n)
+    return run(q_packed, g)
 
 
 class RetrievalIndex:
@@ -125,15 +197,17 @@ class RetrievalIndex:
             self._packed = jnp.asarray(np.concatenate(self._chunks, axis=0))
         return self._packed
 
-    def search(self, query_codes, topk: int = 10,
-               block: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, query_codes, topk: int = 10, block: Optional[int] = None,
+               mesh=None) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k by Hamming distance.
 
         Returns (distances (Q, topk) int, indices (Q, topk) int) in
         ascending-distance order, ties by insertion order. Galleries larger
         than ``block`` rows (default ``_DEVICE_BLOCK``) stream through the
-        blocked merge so the full (Q, N) distance matrix never
-        materializes in HBM; results are bit-equal either way.
+        blocked merge so the full (Q, N) distance matrix never materializes
+        in HBM; with a ``jax.sharding.Mesh`` the gallery additionally shards
+        over the devices (each chip searches its rows, one all-gather
+        merges) — results are bit-equal on every path.
         """
         q = jnp.asarray(query_codes, jnp.float32)
         assert q.shape[1] == self.bits
@@ -143,7 +217,10 @@ class RetrievalIndex:
         # Pallas compiles natively on TPU; CPU (tests) runs interpreted
         interpret = jax.default_backend() == "cpu"
         block = _DEVICE_BLOCK if block is None else block
-        if gallery.shape[0] > block:
+        if mesh is not None and mesh.size > 1:
+            dist, idx = _search_sharded(qp, gallery, topk, mesh, block,
+                                        interpret)
+        elif gallery.shape[0] > block:
             dist, idx = _search_blocked(qp, gallery, topk, block, interpret)
         else:
             dist, idx = _search(qp, gallery, topk, interpret)

@@ -182,6 +182,33 @@ def test_device_search_blocked_matches_unblocked():
     np.testing.assert_array_equal(i_blk, i_cpu)
 
 
+def test_device_search_mesh_sharded_matches_single():
+    """Gallery-sharded multi-chip search (8-device mesh, rows split across
+    devices, all-gather merge) must be bit-equal to the single-device path
+    — heavy ties (bits=8) spanning shard boundaries, a gallery size not
+    divisible by the device count (ragged last shard), per-shard blocking
+    forced tiny (block=7), and topk == one full shard so every candidate
+    slot is exercised."""
+    from cmh_tpu.parallel.mesh import make_mesh
+
+    bits = 8
+    gallery = _codes(203, bits, 30)  # ceil(203/8)=26 rows/shard, last=21
+    queries = _codes(6, bits, 31)
+    index = RetrievalIndex(bits)
+    index.add(gallery)
+    mesh = make_mesh()
+    assert mesh.size == 8
+    want_d, want_i = index.search(queries, topk=26)
+    for block in (7, 64):
+        got_d, got_i = index.search(queries, topk=26, block=block, mesh=mesh)
+        np.testing.assert_array_equal(got_d, want_d)
+        np.testing.assert_array_equal(got_i, want_i)
+    # topk larger than a shard is a named error, not silent truncation
+    import pytest
+    with pytest.raises(AssertionError, match="shard"):
+        index.search(queries, topk=40, mesh=mesh)
+
+
 def test_search_cpu_fallback_blocks_over_gallery(monkeypatch):
     """The numpy fallback merges per-gallery-block candidates via the
     composite dist·N+idx key — forcing tiny blocks (7 rows) with heavy ties
