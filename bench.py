@@ -392,7 +392,8 @@ def _artifact_extras():
             out[key] = {"speedup": ab.get("speedup"),
                         "ours_epoch_s": ab.get("ours_epoch_s"),
                         "ref_epoch_s": ab.get("ref_epoch_s"),
-                        "backend_ours": ab.get("backend_ours")}
+                        "backend_ours": ab.get("backend_ours"),
+                        "denominator_basis": ab.get("denominator_basis")}
         except Exception:
             pass
     return out

@@ -275,6 +275,14 @@ def main():
         "speedup": ref_times and round(
             float(np.median(ref_steady)) / float(np.median(our_times)), 2
         ),
+        # the basis travels with the claim (VERDICT r3): the denominator is
+        # the torch reference on host CPU (this image has no CUDA), at this
+        # protocol's train_num — the reference's own full-scale default is
+        # 10,000 items/epoch (configs/base.yaml), ~10× this protocol
+        "denominator_basis": (
+            f"torch reference trainer on host CPU ({ref_source}), "
+            f"{train_num}-item epoch, batch {batch}, steady-state epochs"
+        ),
     }
     print(json.dumps(out))
 
