@@ -196,3 +196,58 @@ def test_export_twdh_pytree_codes(tmp_path):
                 jax.tree_util.tree_leaves(got_i) + jax.tree_util.tree_leaves(got_t),
                 jax.tree_util.tree_leaves(want_i) + jax.tree_util.tree_leaves(want_t)):
             np.testing.assert_array_equal(got_leaf, np.asarray(want_leaf))
+
+
+def test_export_cli_end_to_end(tmp_path):
+    """python -m cmh_tpu.export drives the full CLI surface: config →
+    method → weights msgpack → serialized artifact, loadable without model
+    code. Covers the eval_method_state() accessor on a trans-less method
+    (DCMHT → method_state=None)."""
+    import os
+    import subprocess
+    import sys
+
+    from util_methods import tiny_trainer
+
+    tr = tiny_trainer(tmp_path / "run", "DCMHT", "DCMHTTrainer",
+                      model_extra={"hash_func": "softmax"})
+    tr.save_model(str(tmp_path / "run"), epoch=0)
+    model_file = [f for f in os.listdir(tmp_path / "run")
+                  if f.startswith("model-")][0]
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        """
+model: {arch: DCMHT, clip_path: /nonexistent.pt, clip_variant: tiny, hash_func: softmax}
+optimizer: {arch: BertAdam}
+dataset: {arch: synthetic_dataset, name: synthetic, num_classes: 4, image_resolution: 32, max_word: 12}
+run: {arch: DCMHTTrainer, output_dim: 8, train_num: 32, query_num: 16}
+"""
+    )
+    out = str(tmp_path / "enc.cmh")
+    env = dict(os.environ, CMH_TPU_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "cmh_tpu.export", "--config-file", str(cfg),
+         "--model", str(tmp_path / "run" / model_file), "--out", out,
+         "--batch", "4"],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "exported encoders to" in proc.stdout
+
+    from cmh_tpu.export import load_encoders as _load
+
+    enc = _load(out)
+    res = tr.method.clip_cfg.image_resolution
+    rng = np.random.RandomState(3)
+    image = rng.randn(4, res, res, 3).astype(np.float32)
+    codes = enc.encode_image(image)
+    assert codes.shape == (4, 8)
+    assert set(np.unique(codes)) <= {-1.0, 1.0}
+    # exported weights are the trainer's: codes match the live eval path
+    want = np.asarray(tr.method.make_hash_code(tr.method.module.apply(
+        {"params": tr.state.params, **tr.state.model_state},
+        jnp.asarray(image), train=False,
+        method=lambda m, x, train: m.encode_image(x, train=train))))
+    np.testing.assert_array_equal(codes, want)
