@@ -191,18 +191,20 @@ def test_device_search_mesh_sharded_matches_single():
     slot is exercised."""
     from cmh_tpu.parallel.mesh import make_mesh
 
-    bits = 8
-    gallery = _codes(203, bits, 30)  # ceil(203/8)=26 rows/shard, last=21
-    queries = _codes(6, bits, 31)
-    index = RetrievalIndex(bits)
-    index.add(gallery)
     mesh = make_mesh()
     assert mesh.size == 8
-    want_d, want_i = index.search(queries, topk=26)
-    for block in (7, 64):
-        got_d, got_i = index.search(queries, topk=26, block=block, mesh=mesh)
-        np.testing.assert_array_equal(got_d, want_d)
-        np.testing.assert_array_equal(got_i, want_i)
+    # bits=8 → heavy ties; bits=70 → 3 uint32 words (odd-word path)
+    for bits, seed in ((8, 30), (70, 32)):
+        gallery = _codes(203, bits, seed)  # ceil(203/8)=26/shard, last=21
+        queries = _codes(6, bits, seed + 1)
+        index = RetrievalIndex(bits)
+        index.add(gallery)
+        want_d, want_i = index.search(queries, topk=26)
+        for block in (7, 64):
+            got_d, got_i = index.search(queries, topk=26, block=block,
+                                        mesh=mesh)
+            np.testing.assert_array_equal(got_d, want_d)
+            np.testing.assert_array_equal(got_i, want_i)
     # topk larger than a shard is a named error, not silent truncation
     import pytest
     with pytest.raises(AssertionError, match="shard"):
