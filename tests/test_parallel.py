@@ -441,3 +441,35 @@ def test_multi_host_dp_train_matches_single_process(tmp_path):
     # its exactness bar in test_dp_matches_single_device.
     for w, key in zip(want, got.files):
         np.testing.assert_allclose(got[key], w, rtol=1e-3, atol=5e-4)
+
+
+def test_checkpoint_restore_continues_training_under_tp_mesh(tmp_path):
+    """Full-state restore (msgpack AND orbax) into a fresh dp×tp trainer
+    must keep training: jit's in_shardings re-shard the restored host
+    arrays onto the Megatron tp layout, and both formats produce the same
+    next-step loss as each other."""
+    from util_methods import tiny_trainer
+
+    run = {"distribute": True, "tp": 2, "shuffle": False}
+    tr = tiny_trainer(tmp_path / "a", "DCMHT", "DCMHTTrainer",
+                      model_extra={"hash_func": "softmax"},
+                      run_extra=dict(run))
+    db = tr._put_batch(next(iter(tr.train_loader)))
+    tr.state, _, _ = tr._train_step(tr.state, db)
+    tr.save_checkpoint(str(tmp_path / "ck.msgpack"), epoch=1)
+    tr.save_checkpoint_orbax(str(tmp_path / "orb"))
+
+    tr2 = tiny_trainer(tmp_path / "b", "DCMHT", "DCMHTTrainer",
+                       model_extra={"hash_func": "softmax"},
+                       run_extra=dict(run))
+    assert tr2.load_checkpoint(str(tmp_path / "ck.msgpack")) == 1
+    tr2.state, loss2, _ = tr2._train_step(tr2.state, db)
+
+    tr3 = tiny_trainer(tmp_path / "c", "DCMHT", "DCMHTTrainer",
+                       model_extra={"hash_func": "softmax"},
+                       run_extra=dict(run))
+    tr3.load_checkpoint_orbax(str(tmp_path / "orb"))
+    tr3.state, loss3, _ = tr3._train_step(tr3.state, db)
+
+    assert np.isfinite(float(loss2))
+    np.testing.assert_allclose(float(loss2), float(loss3), rtol=1e-5)
