@@ -1,0 +1,113 @@
+"""HTTP serving endpoint: exported text encoder + packed index end to end."""
+
+import json
+import threading
+
+import http.client
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmh_tpu.config import config_from_dict
+from cmh_tpu.export import export_encoders, load_encoders
+from cmh_tpu.models.clip.tokenizer import SimpleTokenizer, tokenize_caption
+from cmh_tpu.models.dcmht import DCMHTMethod
+from cmh_tpu.server import RetrievalApp, make_server
+from cmh_tpu.serving import RetrievalIndex
+
+
+def _request(port, method, path, payload=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    body = json.dumps(payload) if payload is not None else None
+    conn.request(method, path, body=body,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    conn.close()
+    return resp.status, out
+
+
+def test_http_server_cross_modal_end_to_end(tmp_path):
+    """The full deployment loop over real HTTP: export a text encoder,
+    index image codes, start the server, and answer (a) raw-code and
+    (b) natural-language queries — responses must equal the direct
+    library calls exactly; malformed requests get 400/404, not a crash."""
+    W = 12
+    cfg_model = config_from_dict(
+        {"model": {"clip_variant": "tiny", "hash_func": "softmax"}}).model
+    method = DCMHTMethod.from_config(cfg_model, output_dim=8)
+    res = method.clip_cfg.image_resolution
+    rng = np.random.RandomState(17)
+    image = jnp.asarray(rng.randn(8, res, res, 3), jnp.float32)
+    text = jnp.asarray(rng.randint(1, 49405, (8, W)), jnp.int32)
+    kpm = jnp.zeros((8, W), bool)
+    variables = method.init_variables(
+        jax.random.PRNGKey(4),
+        {"image": image, "text": text, "key_padding_mask": kpm})
+    enc_path = str(tmp_path / "enc.cmh")
+    export_encoders(method, variables, enc_path, max_words=W)
+
+    enc = load_encoders(enc_path)
+    gallery_codes = enc.encode_image(np.asarray(image))
+    index = RetrievalIndex(bits=8)
+    index.add(gallery_codes)
+
+    tokenizer = SimpleTokenizer()
+    app = RetrievalApp(index, enc, tokenizer, backend="cpu", max_words=W)
+    server = make_server(app, port=0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, health = _request(port, "GET", "/healthz")
+        assert status == 200
+        assert health == {"count": 8, "bits": 8, "backend": "cpu",
+                          "text": True}
+
+        # raw-code search ≡ direct library call
+        queries = rng.choice([-1.0, 1.0], size=(3, 8)).astype(np.float32)
+        status, out = _request(port, "POST", "/search",
+                               {"codes": queries.tolist(), "topk": 4})
+        assert status == 200
+        want_d, want_i = index.search_cpu(queries, topk=4)
+        assert out["dist"] == want_d.tolist()
+        assert out["idx"] == want_i.tolist()
+
+        # natural-language query ≡ tokenize + exported encoder + search
+        captions = ["a dog on the grass", "two people riding bikes"]
+        status, out = _request(port, "POST", "/search_text",
+                               {"text": captions, "topk": 3})
+        assert status == 200
+        ids, masks = zip(*(tokenize_caption(tokenizer, c, W)
+                           for c in captions))
+        q_codes = enc.encode_text(np.stack(ids), np.stack(masks))
+        want_d, want_i = index.search_cpu(
+            np.asarray(q_codes, np.float32), topk=3)
+        assert out["dist"] == want_d.tolist()
+        assert out["idx"] == want_i.tolist()
+
+        # error paths: named 400s and 404s, server stays up
+        status, out = _request(port, "POST", "/search",
+                               {"codes": queries.tolist(), "topk": 999})
+        assert status == 400 and "topk" in out["error"]
+        status, out = _request(port, "POST", "/search",
+                               {"codes": [[1.0, -1.0]]})  # wrong width
+        assert status == 400
+        status, _ = _request(port, "POST", "/nonsense", {})
+        assert status == 404
+        status, _ = _request(port, "GET", "/healthz")
+        assert status == 200  # still alive after the errors
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_server_without_encoders_rejects_text():
+    index = RetrievalIndex(bits=8)
+    index.add(np.sign(np.random.RandomState(0).randn(4, 8)) + 0.0)
+    app = RetrievalApp(index, backend="cpu")
+    assert app.healthz()["text"] is False
+    import pytest
+    with pytest.raises(AssertionError, match="search_text"):
+        app.search_text({"text": ["hi"]})
