@@ -15,6 +15,9 @@ Endpoints (JSON in / JSON out):
 - ``POST /search_text`` with ``{"text": ["a dog on grass", ...], "topk": k}``
   — full cross-modal retrieval: BPE tokenize → the EXPORTED text encoder
   (serialized StableHLO, no model code on this host) → exact top-k.
+- ``POST /search_image`` with ``{"image_b64": [<base64 PNG/JPEG>, ...],
+  "topk": k}`` — decode → the trainer's eval transform (native C++ resize
+  +normalize when built) → the exported image encoder → exact top-k.
 
 Responses: ``{"dist": [[...]], "idx": [[...]]}`` in ascending-distance
 order with the framework's stable insertion-order tie-break.
@@ -39,13 +42,14 @@ class RetrievalApp:
 
     def __init__(self, index, encoders=None, tokenizer=None,
                  backend: str = "cpu", max_words: int = 32,
-                 default_topk: int = 10):
+                 image_size: int = 224, default_topk: int = 10):
         assert backend in ("cpu", "device")
         self.index = index
         self.encoders = encoders
         self.tokenizer = tokenizer
         self.backend = backend
         self.max_words = max_words
+        self.image_size = image_size
         self.default_topk = default_topk
 
     def _search(self, codes: np.ndarray, topk: int):
@@ -88,7 +92,34 @@ class RetrievalApp:
         return self._search(np.asarray(codes, np.float32),
                             int(payload.get("topk", self.default_topk)))
 
-    ROUTES = {"/search": "search", "/search_text": "search_text"}
+    def search_image(self, payload: dict) -> dict:
+        assert self.encoders is not None, (
+            "server started without --encoders; /search_image unavailable"
+        )
+        import base64
+        import io
+
+        from PIL import Image
+
+        from .data.transforms import eval_transform
+
+        blobs = payload["image_b64"]
+        assert isinstance(blobs, list) and blobs, (
+            "image_b64 must be a non-empty list"
+        )
+        imgs = np.stack([
+            eval_transform(
+                Image.open(io.BytesIO(base64.b64decode(b))).convert("RGB"),
+                self.image_size,
+            )
+            for b in blobs
+        ])
+        codes = self.encoders.encode_image(imgs)
+        return self._search(np.asarray(codes, np.float32),
+                            int(payload.get("topk", self.default_topk)))
+
+    ROUTES = {"/search": "search", "/search_text": "search_text",
+              "/search_image": "search_image"}
 
     def handle_post(self, path: str, payload: dict) -> dict:
         method = self.ROUTES.get(path)
@@ -144,6 +175,8 @@ def main(argv: Optional[list] = None) -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max-words", type=int, default=32)
+    ap.add_argument("--image-size", type=int, default=224,
+                    help="eval-transform target resolution (CLIP input)")
     ap.add_argument("--topk", type=int, default=10)
     args = ap.parse_args(argv)
 
@@ -163,7 +196,8 @@ def main(argv: Optional[list] = None) -> None:
         encoders = load_encoders(args.encoders)
         tokenizer = SimpleTokenizer()
     app = RetrievalApp(index, encoders, tokenizer, backend=args.backend,
-                       max_words=args.max_words, default_topk=args.topk)
+                       max_words=args.max_words, image_size=args.image_size,
+                       default_topk=args.topk)
     server = make_server(app, args.host, args.port)
     print(f"serving {len(index)} items ({index.bits}-bit) on "
           f"http://{args.host}:{args.port} "

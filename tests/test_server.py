@@ -54,7 +54,8 @@ def test_http_server_cross_modal_end_to_end(tmp_path):
     index.add(gallery_codes)
 
     tokenizer = SimpleTokenizer()
-    app = RetrievalApp(index, enc, tokenizer, backend="cpu", max_words=W)
+    app = RetrievalApp(index, enc, tokenizer, backend="cpu", max_words=W,
+                       image_size=res)
     server = make_server(app, port=0)  # ephemeral port
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -84,6 +85,30 @@ def test_http_server_cross_modal_end_to_end(tmp_path):
         q_codes = enc.encode_text(np.stack(ids), np.stack(masks))
         want_d, want_i = index.search_cpu(
             np.asarray(q_codes, np.float32), topk=3)
+        assert out["dist"] == want_d.tolist()
+        assert out["idx"] == want_i.tolist()
+
+        # raw-image query ≡ eval transform + exported encoder + search
+        import base64
+        import io
+        from PIL import Image
+        from cmh_tpu.data.transforms import eval_transform
+
+        raws = [Image.fromarray(
+            rng.randint(0, 255, (40, 52, 3), dtype=np.uint8))
+            for _ in range(2)]
+        blobs = []
+        for im in raws:
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            blobs.append(base64.b64encode(buf.getvalue()).decode())
+        status, out = _request(port, "POST", "/search_image",
+                               {"image_b64": blobs, "topk": 3})
+        assert status == 200
+        pix = np.stack([eval_transform(im, res) for im in raws])
+        q_img = enc.encode_image(pix)
+        want_d, want_i = index.search_cpu(
+            np.asarray(q_img, np.float32), topk=3)
         assert out["dist"] == want_d.tolist()
         assert out["idx"] == want_i.tolist()
 
