@@ -136,3 +136,62 @@ def test_server_without_encoders_rejects_text():
     import pytest
     with pytest.raises(AssertionError, match="search_text"):
         app.search_text({"text": ["hi"]})
+
+
+def test_build_index_tool_end_to_end(tmp_path):
+    """python -m cmh_tpu.tools.build_index: trained weights → serving index
+    + encoder export in one pass, through the trainer's exact eval path.
+    The packed gallery must equal the trainer's own retrieval codes, and
+    the emitted pair must answer a text query through RetrievalApp."""
+    import os
+    import subprocess
+    import sys
+
+    from util_methods import tiny_trainer
+
+    tr = tiny_trainer(tmp_path / "run", "DCMHT", "DCMHTTrainer",
+                      model_extra={"hash_func": "softmax"})
+    tr.save_model(str(tmp_path / "run"), epoch=0)
+    model_file = [f for f in os.listdir(tmp_path / "run")
+                  if f.startswith("model-")][0]
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        """
+model: {arch: DCMHT, clip_path: /nonexistent.pt, clip_variant: tiny, hash_func: softmax}
+optimizer: {arch: BertAdam, lr: 0.002, clip_lr: 0.0005}
+dataset: {arch: synthetic_dataset, name: synthetic, num_classes: 4, image_resolution: 32, max_word: 12}
+run: {arch: DCMHTTrainer, output_dim: 8, batch_size: 16, train_num: 32,
+      query_num: 16, epochs: 1, display_step: 1000, seed: 5}
+"""
+    )
+    env = dict(os.environ, CMH_TPU_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "cmh_tpu.tools.build_index",
+         "--config-file", str(cfg),
+         "--model", str(tmp_path / "run" / model_file),
+         "--out-index", str(tmp_path / "gallery"),
+         "--out-encoders", str(tmp_path / "enc.cmh")],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    meta = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert meta["items"] == tr.retrieval_num and meta["bits"] == 8
+
+    index = RetrievalIndex.load(str(tmp_path / "gallery.npz"))
+    assert len(index) == tr.retrieval_num
+    # gallery codes == the trainer's own eval path (same seed, same weights)
+    want_img, _ = tr.get_code(tr.retrieval_loader, tr.retrieval_num)
+    from cmh_tpu.serving import _pack_bits_host
+    np.testing.assert_array_equal(
+        index._host_packed if index._host_packed is not None
+        else np.concatenate(index._chunks, axis=0),
+        _pack_bits_host(np.asarray(want_img, np.float32)))
+
+    # the emitted pair serves a text query end to end
+    enc = load_encoders(str(tmp_path / "enc.cmh"))
+    app = RetrievalApp(index, enc, SimpleTokenizer(), backend="cpu",
+                       max_words=12)
+    out = app.search_text({"text": ["a red car"], "topk": 3})
+    assert len(out["idx"][0]) == 3
