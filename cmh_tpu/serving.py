@@ -4,9 +4,12 @@ The reference stops at dumping code matrices to ``.mat`` files
 (runners/base.py:386-405); serving a hashing model in production needs an
 index. ``RetrievalIndex`` keeps the gallery as 32-bit packed words (16× less
 HBM than bf16 ±1 codes — 100M 256-bit items fit in 3.2 GB), computes query
-Hamming distances with the Pallas XOR+popcount kernel, and returns exact
-top-k neighbors via a distance+index composite key so ties break by gallery
-insertion order (the same stable order the mAP metrics use).
+Hamming distances with the Pallas XOR+popcount kernel in gallery blocks (the
+(Q, N) distance matrix never materializes), optionally shards the gallery
+over a device mesh, and returns exact top-k neighbors with ties broken by
+gallery insertion order (the same stable order the mAP metrics use) — via
+position-preserving merges on device, and a distance·N+index composite key
+in the numpy fallback.
 """
 
 from __future__ import annotations
