@@ -149,12 +149,16 @@ def make_server(app: RetrievalApp, host: str = "127.0.0.1",
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            if self.path not in RetrievalApp.ROUTES:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 self._reply(200, app.handle_post(self.path, payload))
-            except KeyError:
-                self._reply(404, {"error": f"unknown path {self.path}"})
+            except KeyError as e:
+                # a missing payload field, NOT an unknown route
+                self._reply(400, {"error": f"missing field {e}"})
             except (AssertionError, ValueError, TypeError) as e:
                 self._reply(400, {"error": str(e)})
 

@@ -121,6 +121,8 @@ def test_http_server_cross_modal_end_to_end(tmp_path):
         assert status == 400
         status, _ = _request(port, "POST", "/nonsense", {})
         assert status == 404
+        status, out = _request(port, "POST", "/search", {})  # missing field
+        assert status == 400 and "codes" in out["error"]
         status, _ = _request(port, "GET", "/healthz")
         assert status == 200  # still alive after the errors
     finally:
