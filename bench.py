@@ -396,6 +396,25 @@ def _artifact_extras():
                         "denominator_basis": ab.get("denominator_basis")}
         except Exception:
             pass
+    # a full bench line captured by the recovery battery on a live tunnel
+    # (tools/when_up.sh → collect_battery.py); if the tunnel is down again
+    # when the driver runs this bench, these are the freshest chip numbers
+    try:
+        path = os.path.join(art_dir, "battery", "bench_tpu.json")
+        with open(path) as f:
+            bat = json.load(f)
+        if bat.get("value"):
+            out["artifact_battery_bench_tpu"] = {
+                "value": bat.get("value"),
+                "unit": bat.get("unit"),
+                "extra": {k: v for k, v in (bat.get("extra") or {}).items()
+                          if not k.startswith("artifact_")},
+                "captured_at_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ",
+                    time.gmtime(os.path.getmtime(path))),
+            }
+    except Exception:
+        pass
     return out
 
 
