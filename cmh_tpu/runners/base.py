@@ -40,6 +40,14 @@ from ..utils.logger import get_color_logger
 from ..utils.seed import set_seed
 
 
+class PreemptionRequested(Exception):
+    """SIGTERM arrived mid-training (how TPU pods are reclaimed). The
+    train loop converts it into a full-state emergency save + clean exit
+    so the restarted command continues via ``run.auto_resume`` — the
+    reference has no preemption story at all (a killed rank just loses
+    everything past the last best-mAP weights, runners/base.py:379-384)."""
+
+
 class TrainState(NamedTuple):
     params: Any
     model_state: Dict[str, Any]   # mutable flax collections (batch_stats, …)
@@ -533,6 +541,24 @@ class BaseTrainer:
             start_epoch = self.load_checkpoint(resume_from)
         ckpt_every = int(self.cfg.run.get("checkpoint_every", 0))
         epoch = start_epoch
+        # preemption safety: SIGTERM (the pod-reclaim signal) becomes a
+        # raise at the next python bytecode, landing in the emergency-save
+        # path below. Only the main thread can own signal handlers; tests
+        # that drive trainers from worker threads skip the install.
+        import signal
+
+        def _on_sigterm(signum, frame):
+            # repeated SIGTERMs (orchestrators resend) must not interrupt
+            # the emergency save the first one triggers
+            signal.signal(signal.SIGTERM, signal.SIG_IGN)
+            raise PreemptionRequested(f"signal {signum}")
+
+        installed = False
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+            installed = True
+        except ValueError:
+            prev_handler = None
         try:
             for epoch in range(start_epoch, self.epochs):
                 self.train_epoch(epoch)
@@ -542,6 +568,14 @@ class BaseTrainer:
                         os.path.join(self.save_dir, "checkpoint-last.msgpack"),
                         epoch=epoch + 1,
                     )
+        except PreemptionRequested:
+            path = os.path.join(self.save_dir, "emergency.ckpt.msgpack")
+            self.save_checkpoint(path, epoch=epoch)
+            self.logger.error(
+                f"preempted (SIGTERM) — state saved to {path}; restart the "
+                "same command with run.auto_resume to continue"
+            )
+            return
         except Exception:
             # failure recovery, stage 1: dump the full train state so the
             # run can resume via load_checkpoint / auto_resume
@@ -552,6 +586,9 @@ class BaseTrainer:
             except Exception:
                 self.logger.error("training crashed; emergency save failed too")
             raise
+        finally:
+            if installed:
+                signal.signal(signal.SIGTERM, prev_handler)
         self.logger.info(
             f">>>>>>> FINISHED >>>>>> Best epoch, I-T: {self.best_epoch_i}, "
             f"mAP: {self.max_mapi2t}, T-I: {self.best_epoch_t}, mAP: {self.max_mapt2i}"

@@ -374,3 +374,117 @@ def test_load_checkpoint_structure_mismatch_clear_error(tmp_path):
     other = tiny_trainer(tmp_path / "b", "MITH", "MITHTrainer")
     with _pytest.raises(ValueError, match="does not match this trainer"):
         other.load_checkpoint(ckpt)
+
+
+def test_preemption_sigterm_saves_and_resumes(tmp_path):
+    """SIGTERM mid-training (how TPU pods are reclaimed — the reference has
+    no preemption handling at all, runners/base.py:379-384 keeps only
+    best-mAP weights) → full-state emergency save + clean exit 0; the SAME
+    restarted command (run.auto_resume) continues past the preemption point.
+    The fingerprint includes the schedule's t_total, so the restart must use
+    the identical config — the second run is preempted again once its
+    checkpoint meta proves it progressed beyond the first run's state."""
+    import json
+    import signal
+    import time as _time
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        """
+model:
+  arch: DCMHT
+  clip_path: /nonexistent.pt
+  clip_variant: tiny
+  hash_func: softmax
+optimizer:
+  arch: BertAdam
+  lr: 0.002
+dataset:
+  arch: synthetic_dataset
+  name: synthetic
+  num_classes: 4
+  image_resolution: 32
+  max_word: 12
+run:
+  arch: DCMHTTrainer
+  output_dim: 8
+  batch_size: 16
+  is_train: True
+  train_num: 32
+  query_num: 16
+  epochs: 200
+  display_step: 1000
+  auto_resume: True
+  checkpoint_every: 1
+"""
+    )
+    env = dict(os.environ, CMH_TPU_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    out_root = tmp_path / "out"
+
+    def max_meta_epoch():
+        best = -1
+        for stamp in os.listdir(out_root) if out_root.exists() else []:
+            for name in ("checkpoint-last.msgpack.meta.json",
+                         "emergency.ckpt.msgpack.meta.json"):
+                f = out_root / stamp / name
+                if f.exists():
+                    try:
+                        best = max(best, json.loads(f.read_text())["epoch"])
+                    except Exception:
+                        pass
+        return best
+
+    def run_until(epoch_marker):
+        """Start training; SIGTERM once checkpoint meta reaches the marker;
+        return (returncode, combined output). A drainer thread keeps the
+        stdout pipe from filling (a blocked child never checkpoints)."""
+        import threading
+
+        proc = subprocess.Popen(
+            [sys.executable, "main.py", "--config-file", str(cfg),
+             "--save-dir", str(out_root)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd="/root/repo",
+        )
+        chunks = []
+        drainer = threading.Thread(
+            target=lambda: chunks.append(proc.stdout.read()), daemon=True)
+        drainer.start()
+        try:
+            deadline = _time.monotonic() + 420
+            while _time.monotonic() < deadline:
+                if max_meta_epoch() >= epoch_marker:
+                    break
+                if proc.poll() is not None:
+                    drainer.join(timeout=30)
+                    raise AssertionError(
+                        "training exited before preemption: "
+                        + "".join(chunks)[-2000:])
+                _time.sleep(1)
+            else:
+                raise AssertionError(
+                    f"checkpoint meta never reached epoch {epoch_marker}")
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=180)
+            drainer.join(timeout=30)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        return proc.returncode, "".join(chunks)
+
+    # first run: completes epoch 0 (checkpoint meta epoch == 1), preempted
+    rc, out = run_until(1)
+    assert rc == 0, out[-2000:]
+    assert "preempted (SIGTERM)" in out, out[-2000:]
+    stamps = os.listdir(out_root)
+    assert any((out_root / s / "emergency.ckpt.msgpack").exists()
+               for s in stamps), f"no emergency checkpoint under {stamps}"
+
+    # identical restarted command: must log the resume and progress past the
+    # first run's state (meta epoch >= 2 is unreachable in the poll budget
+    # without resuming — a fresh start would need 2 full epochs AND would
+    # have ignored the emergency checkpoint)
+    rc2, out2 = run_until(2)
+    assert rc2 == 0, out2[-2000:]
+    assert "resum" in out2.lower(), out2[-2000:]
+    assert "preempted (SIGTERM)" in out2, out2[-2000:]
