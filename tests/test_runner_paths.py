@@ -434,12 +434,18 @@ run:
                         pass
         return best
 
-    def run_until(epoch_marker):
-        """Start training; SIGTERM once checkpoint meta reaches the marker;
-        return (returncode, combined output). A drainer thread keeps the
-        stdout pipe from filling (a blocked child never checkpoints)."""
+    def run_and_preempt():
+        """Start training; SIGTERM once checkpoint meta moves PAST its
+        value at spawn time — new meta can only come from this child's
+        epoch loop, which proves the SIGTERM handler is installed (the
+        previous run may have raced ahead of its own preemption, so an
+        absolute epoch target could trigger during the next child's
+        interpreter startup and kill it with the default action). Returns
+        (returncode, combined output). A drainer thread keeps the stdout
+        pipe from filling (a blocked child never checkpoints)."""
         import threading
 
+        baseline = max_meta_epoch()
         proc = subprocess.Popen(
             [sys.executable, "main.py", "--config-file", str(cfg),
              "--save-dir", str(out_root)],
@@ -453,38 +459,40 @@ run:
         try:
             deadline = _time.monotonic() + 420
             while _time.monotonic() < deadline:
-                if max_meta_epoch() >= epoch_marker:
+                if max_meta_epoch() > baseline:
                     break
                 if proc.poll() is not None:
-                    drainer.join(timeout=30)
+                    drainer.join(timeout=60)
                     raise AssertionError(
                         "training exited before preemption: "
                         + "".join(chunks)[-2000:])
                 _time.sleep(1)
             else:
                 raise AssertionError(
-                    f"checkpoint meta never reached epoch {epoch_marker}")
+                    f"checkpoint meta never passed {baseline}")
             proc.send_signal(signal.SIGTERM)
             proc.wait(timeout=180)
-            drainer.join(timeout=30)
+            drainer.join(timeout=60)
         finally:
             if proc.poll() is None:
                 proc.kill()
         return proc.returncode, "".join(chunks)
 
-    # first run: completes epoch 0 (checkpoint meta epoch == 1), preempted
-    rc, out = run_until(1)
+    # first run: completes at least epoch 0, preempted mid-run
+    rc, out = run_and_preempt()
     assert rc == 0, out[-2000:]
     assert "preempted (SIGTERM)" in out, out[-2000:]
     stamps = os.listdir(out_root)
     assert any((out_root / s / "emergency.ckpt.msgpack").exists()
                for s in stamps), f"no emergency checkpoint under {stamps}"
+    after_first = max_meta_epoch()
+    assert after_first >= 1
 
-    # identical restarted command: must log the resume and progress past the
-    # first run's state (meta epoch >= 2 is unreachable in the poll budget
-    # without resuming — a fresh start would need 2 full epochs AND would
-    # have ignored the emergency checkpoint)
-    rc2, out2 = run_until(2)
+    # identical restarted command: must log the resume and then progress
+    # past everything the first run left behind (the "resum" line is the
+    # authoritative check; new checkpoint meta times the second SIGTERM)
+    rc2, out2 = run_and_preempt()
     assert rc2 == 0, out2[-2000:]
     assert "resum" in out2.lower(), out2[-2000:]
     assert "preempted (SIGTERM)" in out2, out2[-2000:]
+    assert max_meta_epoch() > after_first
