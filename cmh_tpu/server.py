@@ -37,6 +37,14 @@ from typing import Optional
 import numpy as np
 
 
+def _require(cond: bool, msg: str) -> None:
+    """Request validation that survives ``python -O`` (assert statements
+    are stripped there, which would let malformed input reach the search
+    kernels); ValueError maps to HTTP 400 in the handler."""
+    if not cond:
+        raise ValueError(msg)
+
+
 class RetrievalApp:
     """Request logic, HTTP-free (unit-testable without sockets)."""
 
@@ -53,9 +61,8 @@ class RetrievalApp:
         self.default_topk = default_topk
 
     def _search(self, codes: np.ndarray, topk: int):
-        assert 0 < topk <= len(self.index), (
-            f"topk={topk} outside (0, {len(self.index)}]"
-        )
+        _require(0 < topk <= len(self.index),
+                 f"topk={topk} outside (0, {len(self.index)}]")
         if self.backend == "cpu":
             dist, idx = self.index.search_cpu(codes, topk=topk)
         else:
@@ -70,20 +77,19 @@ class RetrievalApp:
 
     def search(self, payload: dict) -> dict:
         codes = np.asarray(payload["codes"], np.float32)
-        assert codes.ndim == 2 and codes.shape[1] == self.index.bits, (
-            f"codes must be (Q, {self.index.bits})"
-        )
+        _require(codes.ndim == 2 and codes.shape[1] == self.index.bits,
+                 f"codes must be (Q, {self.index.bits})")
         return self._search(codes, int(payload.get("topk",
                                                    self.default_topk)))
 
     def search_text(self, payload: dict) -> dict:
-        assert self.encoders is not None, (
-            "server started without --encoders; /search_text unavailable"
-        )
+        _require(self.encoders is not None,
+                 "server started without --encoders; /search_text unavailable")
         from .models.clip.tokenizer import tokenize_caption
 
         texts = payload["text"]
-        assert isinstance(texts, list) and texts, "text must be a non-empty list"
+        _require(isinstance(texts, list) and bool(texts),
+                 "text must be a non-empty list")
         ids, masks = zip(*(
             tokenize_caption(self.tokenizer, str(t), self.max_words)
             for t in texts
@@ -93,9 +99,8 @@ class RetrievalApp:
                             int(payload.get("topk", self.default_topk)))
 
     def search_image(self, payload: dict) -> dict:
-        assert self.encoders is not None, (
-            "server started without --encoders; /search_image unavailable"
-        )
+        _require(self.encoders is not None,
+                 "server started without --encoders; /search_image unavailable")
         import base64
         import io
 
@@ -104,15 +109,23 @@ class RetrievalApp:
         from .data.transforms import eval_transform
 
         blobs = payload["image_b64"]
-        assert isinstance(blobs, list) and blobs, (
-            "image_b64 must be a non-empty list"
-        )
+        _require(isinstance(blobs, list) and bool(blobs),
+                 "image_b64 must be a non-empty list")
+
+        def decode(i, b):
+            try:
+                return Image.open(io.BytesIO(base64.b64decode(b)))\
+                    .convert("RGB")
+            except OSError as e:
+                # PIL.UnidentifiedImageError subclasses OSError, which the
+                # handler's 400 tuple does not catch — surface it as a 400,
+                # not a dropped connection
+                raise ValueError(f"image_b64[{i}] is not a decodable image: "
+                                 f"{e}")
+
         imgs = np.stack([
-            eval_transform(
-                Image.open(io.BytesIO(base64.b64decode(b))).convert("RGB"),
-                self.image_size,
-            )
-            for b in blobs
+            eval_transform(decode(i, b), self.image_size)
+            for i, b in enumerate(blobs)
         ])
         codes = self.encoders.encode_image(imgs)
         return self._search(np.asarray(codes, np.float32),
@@ -184,10 +197,9 @@ def main(argv: Optional[list] = None) -> None:
     ap.add_argument("--topk", type=int, default=10)
     args = ap.parse_args(argv)
 
-    if args.backend == "cpu" and os.environ.get("CMH_TPU_PLATFORM"):
-        import jax
+    from .utils.jax_setup import apply_platform_escape
 
-        jax.config.update("jax_platforms", os.environ["CMH_TPU_PLATFORM"])
+    apply_platform_escape()
 
     from .serving import RetrievalIndex
 

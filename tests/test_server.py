@@ -123,6 +123,9 @@ def test_http_server_cross_modal_end_to_end(tmp_path):
         assert status == 404
         status, out = _request(port, "POST", "/search", {})  # missing field
         assert status == 400 and "codes" in out["error"]
+        status, out = _request(port, "POST", "/search_image",
+                               {"image_b64": ["aGVsbG8="]})  # b64, not image
+        assert status == 400 and "image_b64[0]" in out["error"]
         status, _ = _request(port, "GET", "/healthz")
         assert status == 200  # still alive after the errors
     finally:
@@ -136,7 +139,7 @@ def test_server_without_encoders_rejects_text():
     app = RetrievalApp(index, backend="cpu")
     assert app.healthz()["text"] is False
     import pytest
-    with pytest.raises(AssertionError, match="search_text"):
+    with pytest.raises(ValueError, match="search_text"):
         app.search_text({"text": ["hi"]})
 
 
