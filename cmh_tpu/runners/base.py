@@ -449,9 +449,16 @@ class BaseTrainer:
         import hashlib
         import json
 
-        opt_hash = hashlib.sha256(
-            json.dumps(self._opt_cfg, sort_keys=True).encode()
-        ).hexdigest()[:16]
+        def digest(obj) -> str:
+            return hashlib.sha256(
+                json.dumps(obj, sort_keys=True, default=str).encode()
+            ).hexdigest()[:16]
+
+        # hash the full CONFIG sections, not just the resolved subset:
+        # method hyperparameters (dropout, alpha, mrg, ...) and
+        # method-specific optimizer groups (DSPH optimizer.hyp, DNPH
+        # optimizer.loss) change the trajectory without changing the state
+        # tree's structure, so they must break the fingerprint too
         return {
             "method": str(self.cfg.model.get("arch", "")),
             "runner": type(self).__name__,
@@ -461,7 +468,14 @@ class BaseTrainer:
             "query_num": int(self.query_num),
             "retrieval_num": int(self.retrieval_num),
             "batch_size": int(self.batch_size),
-            "optimizer_hash": opt_hash,
+            "optimizer_hash": digest(
+                [self._opt_cfg, self.cfg.optimizer.to_dict()
+                 if hasattr(self.cfg.optimizer, "to_dict") else {}]
+            ),
+            "model_hash": digest(
+                self.cfg.model.to_dict()
+                if hasattr(self.cfg.model, "to_dict") else {}
+            ),
         }
 
     @staticmethod
@@ -479,6 +493,13 @@ class BaseTrainer:
             except (OSError, ValueError):
                 return None
         try:
+            # sidecar-less fallback, bounded: parsing the msgpack means
+            # materializing the whole state blob just to read meta — fine
+            # for the small checkpoints early code wrote, unacceptable for
+            # multi-GB ones (several legacy siblings would stall every
+            # startup); those are skipped (use run.resume_checkpoint)
+            if os.path.getsize(path) > 512 * 1024 * 1024:
+                return None
             import flax.serialization as ser
 
             with open(path, "rb") as f:
@@ -498,6 +519,15 @@ class BaseTrainer:
         a logged reason rather than silently resumed; legacy checkpoints
         without a fingerprint are likewise skipped (pass
         run.resume_checkpoint explicitly to load one)."""
+        for path in self._resume_candidates():
+            return path
+        return None
+
+    def _resume_candidates(self):
+        """All fingerprint-matching resume candidates, newest first (the
+        caller falls back to the next one if a load fails — e.g. a file
+        truncated by an ungraceful kill predating the atomic-replace
+        writes)."""
         import glob
 
         root = os.path.dirname(os.path.abspath(self.save_dir))
@@ -508,8 +538,8 @@ class BaseTrainer:
         for path in sorted(candidates, key=os.path.getmtime, reverse=True):
             fp = self._read_checkpoint_fingerprint(path)
             if fp == mine:
-                return path
-            if fp is None:
+                yield path
+            elif fp is None:
                 self.logger.info(
                     f"auto_resume: skipping {path} (no config fingerprint — "
                     "legacy checkpoint; use run.resume_checkpoint to load it)"
@@ -523,7 +553,6 @@ class BaseTrainer:
                     f"auto_resume: skipping {path} (config fingerprint "
                     f"mismatch on {diff})"
                 )
-        return None
 
     def train(self):
         # failure recovery, stage 2 (SURVEY.md §5 — the reference can only
@@ -535,10 +564,21 @@ class BaseTrainer:
         # interrupted epoch).
         start_epoch = 0
         resume_from = self.cfg.run.get("resume_checkpoint", None)
-        if resume_from is None and self.cfg.run.get("auto_resume", False):
-            resume_from = self._find_resume_checkpoint()
         if resume_from:
             start_epoch = self.load_checkpoint(resume_from)
+        elif self.cfg.run.get("auto_resume", False):
+            for cand in self._resume_candidates():
+                try:
+                    start_epoch = self.load_checkpoint(cand)
+                    break
+                except Exception as e:
+                    # unreadable candidate (e.g. truncated by an ungraceful
+                    # kill): fall back to the next, or to a fresh start —
+                    # never brick the restart loop
+                    self.logger.warning(
+                        f"auto_resume: {cand} unreadable "
+                        f"({type(e).__name__}: {e}) — trying next candidate"
+                    )
         ckpt_every = int(self.cfg.run.get("checkpoint_every", 0))
         epoch = start_epoch
         # preemption safety: SIGTERM (the pod-reclaim signal) becomes a
@@ -967,17 +1007,24 @@ class BaseTrainer:
 
         meta = self._checkpoint_meta(epoch)
         blob = {"state": self.state._asdict(), "meta": meta}
-        with open(path, "wb") as f:
+        # atomic replace: a kill (SIGKILL after the SIGTERM grace period,
+        # disk-full, power loss) mid-write must never leave a truncated
+        # msgpack under a valid sidecar — that would brick auto_resume
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(flax.serialization.to_bytes(blob))
+        os.replace(tmp, path)
         # JSON sidecar: lets auto-resume check run identity without parsing
         # the (possibly multi-GB) msgpack state blob
         import json
 
-        with open(path + ".meta.json", "w") as f:
+        tmp = path + ".meta.json.tmp"
+        with open(tmp, "w") as f:
             json.dump(
                 {"epoch": meta["epoch"], "fingerprint": meta["fingerprint"]},
                 f, indent=1,
             )
+        os.replace(tmp, path + ".meta.json")
         self.logger.info(f"checkpoint saved to {path}")
 
     def load_checkpoint(self, path: str) -> int:

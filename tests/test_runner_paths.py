@@ -496,3 +496,62 @@ run:
     assert "resum" in out2.lower(), out2[-2000:]
     assert "preempted (SIGTERM)" in out2, out2[-2000:]
     assert max_meta_epoch() > after_first
+
+
+def test_fingerprint_covers_model_and_suboptimizer_hparams(tmp_path):
+    """The fingerprint must change when method hyperparameters or
+    method-specific optimizer groups change (structure-identical foreign
+    runs — e.g. DSPH with a different proxy-SGD lr — previously hashed
+    identically and could silently cross-resume)."""
+    base = dict(model_extra={"hash_func": "tanh", "numclass": 4,
+                             "alpha": 0.8},
+                optimizer_extra={"hyp": {"lr": 0.02}})
+    tr_a = tiny_trainer(tmp_path / "a", "DSPH", "DSPHTrainer", **base)
+    fp_a = tr_a._config_fingerprint()
+
+    tr_b = tiny_trainer(tmp_path / "b", "DSPH", "DSPHTrainer",
+                        model_extra=base["model_extra"],
+                        optimizer_extra={"hyp": {"lr": 0.5}})
+    assert tr_b._config_fingerprint() != fp_a, "hyp lr must break the print"
+
+    tr_c = tiny_trainer(tmp_path / "c", "DSPH", "DSPHTrainer",
+                        model_extra={"hash_func": "tanh", "numclass": 4,
+                                     "alpha": 0.3},
+                        optimizer_extra=base["optimizer_extra"])
+    assert tr_c._config_fingerprint() != fp_a, "model alpha must break it"
+
+    tr_d = tiny_trainer(tmp_path / "d", "DSPH", "DSPHTrainer", **base)
+    assert tr_d._config_fingerprint() == fp_a, "identical config must match"
+
+
+def test_auto_resume_survives_truncated_checkpoint(tmp_path):
+    """A checkpoint truncated by an ungraceful kill (valid sidecar, corrupt
+    msgpack) must not brick auto_resume: the loader falls back to the next
+    matching candidate, or to a fresh start."""
+    tr_a = tiny_trainer(tmp_path / "a", "DCMHT", "DCMHTTrainer")
+    ck_good = str(tmp_path / "a" / "checkpoint-last.msgpack")
+    tr_a.save_checkpoint(ck_good, epoch=1)
+
+    tr_b = tiny_trainer(tmp_path / "b", "DCMHT", "DCMHTTrainer")
+    ck_bad = str(tmp_path / "b" / "checkpoint-last.msgpack")
+    tr_b.save_checkpoint(ck_bad, epoch=1)
+    with open(ck_bad, "r+b") as f:  # simulate mid-write SIGKILL
+        f.truncate(100)
+    now = os.path.getmtime(ck_good)
+    os.utime(ck_good, (now, now))
+    os.utime(ck_bad, (now + 10, now + 10))  # corrupt one is newest
+
+    tr_new = tiny_trainer(tmp_path / "c", "DCMHT", "DCMHTTrainer",
+                          run_extra={"epochs": 1, "auto_resume": True})
+    cands = list(tr_new._resume_candidates())
+    assert cands[0] == ck_bad and ck_good in cands
+    tr_new.train()  # must fall back to ck_good (epoch 1 → nothing to run)
+    assert int(tr_new.state.step) == int(tr_a.state.step)
+
+    # only corrupt candidates at all → fresh start, train still completes
+    os.remove(ck_good)
+    os.remove(ck_good + ".meta.json")
+    tr_fresh = tiny_trainer(tmp_path / "d", "DCMHT", "DCMHTTrainer",
+                            run_extra={"epochs": 1, "auto_resume": True})
+    tr_fresh.train()
+    assert int(tr_fresh.state.step) > 0
