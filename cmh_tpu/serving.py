@@ -152,22 +152,41 @@ def _build_sharded_search(mesh, topk: int, block: int, interpret: bool,
     return jax.jit(run)
 
 
+def _shard_gallery(g_packed, mesh):
+    """Pad the packed gallery to an even per-device split and place it
+    row-sharded across the mesh. Done ONCE per index (cached by the
+    caller): re-padding and re-distributing all N rows per search call
+    would cost an O(N) transfer each time at the module's 100M-item pitch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = mesh.size
+    n = g_packed.shape[0]
+    local_n = -(-n // ndev)
+    g = jnp.pad(g_packed, ((0, local_n * ndev - n), (0, 0)))
+    g = jax.device_put(g, NamedSharding(mesh, P(tuple(mesh.axis_names))))
+    return g, local_n
+
+
 def _search_sharded(q_packed, g_packed, topk: int, mesh, block: int,
-                    interpret: bool = False):
+                    interpret: bool = False, prepared=None):
     """Gallery-sharded multi-chip top-k: the gallery rows shard jointly
     over every mesh axis, each device runs the blocked candidate scan on
     its shard (queries replicated), and one all-gather of the
     device-count×topk candidates feeds a final replicated merge. Candidate
     blocks arrive in shard order (ascending global index) with each shard
     internally sorted, so ``lax.top_k``'s positional tie-break reproduces
-    the single-device stable order exactly."""
-    ndev = mesh.size
-    n = g_packed.shape[0]
-    local_n = -(-n // ndev)
+    the single-device stable order exactly.
+
+    ``prepared`` short-circuits the per-call pad+placement with a cached
+    ``(sharded_gallery, local_n, n)`` triple (see ``RetrievalIndex``)."""
+    if prepared is not None:
+        g, local_n, n = prepared
+    else:
+        n = g_packed.shape[0]
+        g, local_n = _shard_gallery(g_packed, mesh)
     assert 0 < topk <= local_n, (
         f"topk={topk} must fit one gallery shard ({local_n} rows)"
     )
-    g = jnp.pad(g_packed, ((0, local_n * ndev - n), (0, 0)))
     run = _build_sharded_search(mesh, topk, block, interpret, local_n, n)
     return run(q_packed, g)
 
@@ -180,6 +199,7 @@ class RetrievalIndex:
         self._chunks = []
         self._packed: Optional[jax.Array] = None
         self._host_packed: Optional[np.ndarray] = None
+        self._sharded = {}  # mesh -> (sharded gallery, local_n, n)
         self._count = 0
 
     def __len__(self) -> int:
@@ -193,6 +213,7 @@ class RetrievalIndex:
         self._count += codes.shape[0]
         self._packed = None
         self._host_packed = None
+        self._sharded.clear()
 
     def _gallery(self) -> jax.Array:
         if self._packed is None:
@@ -221,8 +242,12 @@ class RetrievalIndex:
         interpret = jax.default_backend() == "cpu"
         block = _DEVICE_BLOCK if block is None else block
         if mesh is not None and mesh.size > 1:
+            if mesh not in self._sharded:
+                g, local_n = _shard_gallery(gallery, mesh)
+                self._sharded[mesh] = (g, local_n, gallery.shape[0])
             dist, idx = _search_sharded(qp, gallery, topk, mesh, block,
-                                        interpret)
+                                        interpret,
+                                        prepared=self._sharded[mesh])
         elif gallery.shape[0] > block:
             dist, idx = _search_blocked(qp, gallery, topk, block, interpret)
         else:
