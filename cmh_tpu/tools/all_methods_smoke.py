@@ -128,12 +128,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
     import os
 
-    if os.environ.get("CMH_TPU_PLATFORM"):
-        # the axon sitecustomize pins jax_platforms in every process; this
-        # is the same off-TPU escape hatch main.py uses
-        import jax
+    from ..utils.jax_setup import apply_platform_escape
 
-        jax.config.update("jax_platforms", os.environ["CMH_TPU_PLATFORM"])
+    apply_platform_escape()
     try:
         out = run_method(args.method)
     except Exception as e:  # one line either way — the battery parses it

@@ -35,8 +35,9 @@ def main(argv=None):
 
     import jax
 
-    if os.environ.get("CMH_TPU_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["CMH_TPU_PLATFORM"])
+    from ..utils.jax_setup import apply_platform_escape
+
+    apply_platform_escape()
 
     import numpy as np
 

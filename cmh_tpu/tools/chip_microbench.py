@@ -38,8 +38,9 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    if os.environ.get("CMH_TPU_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["CMH_TPU_PLATFORM"])
+    from ..utils.jax_setup import apply_platform_escape
+
+    apply_platform_escape()
     cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".jax_cache")
     os.makedirs(cache, exist_ok=True)

@@ -123,13 +123,9 @@ def time_ours(cfg, epochs):
 
 
 def main():
-    # honor CMH_TPU_PLATFORM before any backend use — the axon sitecustomize
-    # pins JAX_PLATFORMS in every process (see main.py)
-    platform = os.environ.get("CMH_TPU_PLATFORM")
-    if platform:
-        import jax
+    from ..utils.jax_setup import apply_platform_escape
 
-        jax.config.update("jax_platforms", platform)
+    apply_platform_escape()
     from cmh_tpu.utils.jax_setup import enable_persistent_cache
 
     enable_persistent_cache()

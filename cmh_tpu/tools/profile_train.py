@@ -99,8 +99,9 @@ def main(argv=None):
 
     # CMH_TPU_PLATFORM=cpu must beat the axon sitecustomize, which pins
     # JAX_PLATFORMS=axon in every process (CLAUDE.md environment quirks)
-    if os.environ.get("CMH_TPU_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["CMH_TPU_PLATFORM"])
+    from ..utils.jax_setup import apply_platform_escape
+
+    apply_platform_escape()
     import jax.numpy as jnp
 
     cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(

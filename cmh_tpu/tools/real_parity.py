@@ -287,11 +287,9 @@ def emit_table(rows, dataset, out_path):
 
 
 def main():
-    platform = os.environ.get("CMH_TPU_PLATFORM")
-    if platform:
-        import jax
+    from ..utils.jax_setup import apply_platform_escape
 
-        jax.config.update("jax_platforms", platform)
+    apply_platform_escape()
     from cmh_tpu.utils.jax_setup import enable_persistent_cache
 
     enable_persistent_cache()

@@ -19,6 +19,25 @@ REPO_ROOT = os.path.dirname(
 DEFAULT_CACHE_DIR = os.path.join(REPO_ROOT, ".jax_cache")
 
 
+def apply_platform_escape() -> str | None:
+    """Honor the ``CMH_TPU_PLATFORM`` escape hatch: the axon sitecustomize
+    pins ``JAX_PLATFORMS=axon`` in EVERY python process (overriding the
+    shell env var), so off-TPU runs must force the platform through
+    jax.config before any backend use. One shared helper — the condition
+    had started to drift across entry points. Returns the platform applied,
+    or None. No-op once a backend is initialized (jax raises; swallowed
+    because the caller's platform is then already decided)."""
+    platform = os.environ.get("CMH_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            return None
+    return platform or None
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
     """Point JAX's persistent compilation cache at the repo-local directory
     (override with CMH_TPU_JAX_CACHE; same dir bench.py uses). Safe to call

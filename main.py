@@ -59,14 +59,17 @@ def maybe_init_distributed(cfg):
         return False
     import jax
 
-    if getattr(jax.config, "jax_platforms", None) == "cpu":
-        # cross-process collectives on the CPU backend need gloo (TPU pods
-        # ride ICI/DCN natively) — makes CPU multi-process runs, incl. the
-        # rendezvous test, actually able to communicate
-        try:
-            jax.config.update("jax_cpu_collectives_implementation", "gloo")
-        except Exception:
-            pass
+    # cross-process collectives on the CPU backend need gloo (TPU pods ride
+    # ICI/DCN natively). Set unconditionally — the option only affects the
+    # CPU backend, and gating on jax_platforms == "cpu" missed hosts where
+    # the backend merely RESOLVES to cpu (no config/env set) or where the
+    # value is a list like "cpu,tpu".
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception as e:
+        print(f"warning: could not enable gloo CPU collectives "
+              f"({type(e).__name__}: {e}) — multi-host CPU runs may hang",
+              flush=True)
     jax.distributed.initialize(
         coordinator_address="{}:{}".format(
             cfg.run.get("distributed_addr", "localhost"),
@@ -92,16 +95,12 @@ def main():
 
     from cmh_tpu.registry import registry
 
-    # escape hatch for environments that pin JAX_PLATFORMS externally
-    # (e.g. the axon sitecustomize): CMH_TPU_PLATFORM=cpu forces the host
-    platform = os.environ.get("CMH_TPU_PLATFORM")
-    if platform:
-        jax.config.update("jax_platforms", platform)
-
     # cold remote-TPU compiles of the training programs take 10-25 min;
     # the repo-local persistent cache makes them one-time per machine
-    from cmh_tpu.utils.jax_setup import enable_persistent_cache
+    from cmh_tpu.utils.jax_setup import apply_platform_escape, \
+        enable_persistent_cache
 
+    apply_platform_escape()
     enable_persistent_cache()
 
     maybe_init_distributed(cfg)
