@@ -409,9 +409,11 @@ def _artifact_extras():
                 "unit": bat.get("unit"),
                 "extra": {k: v for k, v in (bat.get("extra") or {}).items()
                           if not k.startswith("artifact_")},
-                "captured_at_utc": time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ",
-                    time.gmtime(os.path.getmtime(path))),
+                # collector stamps the capture time into the JSON; mtime is
+                # only a fallback (it reads as checkout time after a clone)
+                "captured_at_utc": bat.get("captured_at_utc") or
+                time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                              time.gmtime(os.path.getmtime(path))),
             }
     except Exception:
         pass

@@ -56,6 +56,10 @@ def persist(src: str, name: str, mode: str) -> bool:
         d = last_json_line(src)
         if d is None:
             return False
+        # capture time INSIDE the JSON: file mtime becomes checkout time
+        # after any clone, which would misdate the evidence
+        d.setdefault("captured_at_utc", time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
         with open(dst, "w") as f:
             json.dump(d, f, indent=1)
         # the TPU epoch A/B additionally feeds bench.py's artifact extras
