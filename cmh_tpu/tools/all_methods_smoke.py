@@ -35,8 +35,13 @@ RECIPES = {
                         "noise_alpha": 0.1},
                  optimizer={"loss": {"lr": 0.0001}}),
     "TwDH": dict(runner="TwDHTrainer",
-                 model={"hash_func": "softmax", "long_dim": 16,
-                        "short_info": [8]}),
+                 model={"hash_func": "softmax", "long_dim": 32,
+                        "short_dims": [8], "numclass": 4,
+                        "quan_alpha": 0.5, "low_rate": 0.1,
+                        "long_center": "/nonexistent_centers",
+                        "short_center": "/nonexistent_centers",
+                        "trans_matrix": "/nonexistent_centers"},
+                 batch=8),
     "DIMCH": dict(runner="DIMCHTrainer",
                   model={"hash_func": "tanh", "setDim": 4, "dropout": 0.1,
                          "distance": {"mode": "smooth_chamfer"},
