@@ -205,6 +205,15 @@ def test_device_search_mesh_sharded_matches_single():
                                         mesh=mesh)
             np.testing.assert_array_equal(got_d, want_d)
             np.testing.assert_array_equal(got_i, want_i)
+    # the padded+sharded gallery placement is built once per mesh and
+    # reused across calls (re-distributing all N rows per search would be
+    # an O(N) transfer at the module's 100M-item pitch)
+    assert len(index._sharded) == 1
+    cached = next(iter(index._sharded.values()))[0]
+    index.search(queries, topk=26, mesh=mesh)
+    assert next(iter(index._sharded.values()))[0] is cached
+    index.add(_codes(5, bits, 99))  # append invalidates the placement
+    assert index._sharded == {}
     # topk larger than a shard is a named error, not silent truncation
     import pytest
     with pytest.raises(AssertionError, match="shard"):
