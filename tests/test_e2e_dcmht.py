@@ -99,3 +99,29 @@ def test_checkpoint_roundtrip(trainer, tmp_path):
     trainer.save_checkpoint(ckpt)
     trainer.load_checkpoint(ckpt)
     assert int(trainer.state.step) == step_before
+
+
+def test_same_seed_reproduces_trajectory(tmp_path):
+    """Two independent trainers built from the identical config + seed must
+    produce bit-identical params after training and identical mAPs — the
+    reproducibility contract behind every parity claim (single JAX PRNG-key
+    discipline + seeded host split/shuffle; the reference seeds four RNGs,
+    utils/set_seed.py)."""
+    import jax
+    import numpy as np
+
+    from util_methods import tiny_trainer
+
+    runs = []
+    for sub in ("a", "b"):
+        tr = tiny_trainer(tmp_path / sub, "DCMHT", "DCMHTTrainer",
+                          model_extra={"hash_func": "softmax"},
+                          run_extra={"epochs": 2, "seed": 23})
+        tr.train()
+        runs.append((
+            np.concatenate([np.asarray(l).ravel() for l in
+                            jax.tree_util.tree_leaves(tr.state.params)]),
+            (tr.max_mapi2t, tr.max_mapt2i),
+        ))
+    np.testing.assert_array_equal(runs[0][0], runs[1][0])
+    assert runs[0][1] == runs[1][1]
