@@ -12,7 +12,6 @@ category/LAll/labels).
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import numpy as np

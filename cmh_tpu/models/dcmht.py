@@ -10,7 +10,7 @@ Eval code = pair-argmax → ±1 (runners/DCMHT/runner.py:82-95).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

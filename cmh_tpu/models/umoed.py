@@ -43,7 +43,6 @@ from ..config import EmptyConfig
 from ..registry import registry
 from .base import BaseHashModel, Method, resolve_clip_cfg
 from .clip.model import CLIP, CLIPConfig, LayerNormFp32, MultiHeadAttention
-from .mith import bayesian_loss
 
 
 def _kaiming_a5(key, shape, dtype=jnp.float32):
