@@ -204,3 +204,36 @@ def test_4dir_auto_wide_cpu_fallback():
     want = [calc_map_k(q, r, ql, rl, None)
             for q, r in ((qi, rt), (qt, ri), (qi, ri), (qt, rt))]
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_map_4dir_randomized_vs_oracle():
+    """Seeded randomized sweep over (bits, shapes, k): the auto 4-direction
+    route and the Pallas counting-rank kernel (interpret, tiny tiles so
+    tile boundaries land everywhere) must match the per-direction
+    calc_map_k oracle — incl. wide codes (300/512) and heavy ties."""
+    from cmh_tpu.ops.map_bucketed import calc_map_k_4dir_auto
+    from cmh_tpu.ops.map_pallas import calc_map_k_4dir_pallas
+    from cmh_tpu.ops.metrics import calc_map_k
+
+    rng = np.random.RandomState(77)
+    for _ in range(8):
+        bits = int(rng.choice([4, 16, 17, 64, 300, 512]))
+        nq = int(rng.randint(3, 14))
+        nr = int(rng.randint(8, 50))
+        classes = int(rng.choice([2, 3, 8]))
+        k = None if rng.rand() < 0.5 else int(rng.randint(1, nr + 1))
+        qi, qt = (rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+                  for _ in range(2))
+        ri, rt = (rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+                  for _ in range(2))
+        ql = (rng.rand(nq, classes) > 0.5).astype(np.float32)
+        ql[:, 0] = 1
+        rl = (rng.rand(nr, classes) > 0.5).astype(np.float32)
+        rl[: max(1, nr // 3), 0] = 1
+        want = [float(calc_map_k(a, b, ql, rl, k))
+                for a, b in ((qi, rt), (qt, ri), (qi, ri), (qt, rt))]
+        got_auto = calc_map_k_4dir_auto(qi, qt, ri, rt, ql, rl, k)
+        np.testing.assert_allclose(got_auto, want, atol=1e-5)
+        got_p = calc_map_k_4dir_pallas(qi, qt, ri, rt, ql, rl, k,
+                                       chunk=8, tq=4, tn=16, interpret=True)
+        np.testing.assert_allclose(got_p, want, atol=1e-5)

@@ -258,3 +258,34 @@ def test_native_gallery_split_matches_query_split():
         d4, i4 = hash_ops.hamming_topk(qp, gp, 15, n_threads=4)
         np.testing.assert_array_equal(d1, d4)
         np.testing.assert_array_equal(i1, i4)
+
+
+def test_search_paths_randomized_cross_exactness():
+    """Seeded randomized sweep: auto/blocked/native-cpu/mesh-sharded search
+    must agree bit-for-bit across random (bits, n, q, topk, block) incl.
+    odd word counts, tile-boundary shapes, and heavy ties at tiny bits."""
+    from cmh_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(1234)
+    mesh = make_mesh()
+    for _ in range(15):
+        bits = int(rng.choice([4, 8, 31, 33, 64, 70, 128]))
+        n = int(rng.randint(10, 300))
+        q = int(rng.randint(1, 7))
+        topk = int(rng.randint(1, min(n, 40) + 1))
+        block = int(rng.choice([3, 16, 64, 1 << 20]))
+        codes = rng.choice([-1.0, 1.0], size=(n, bits)).astype(np.float32)
+        queries = rng.choice([-1.0, 1.0], size=(q, bits)).astype(np.float32)
+        idx = RetrievalIndex(bits)
+        idx.add(codes)
+        d0, i0 = idx.search(queries, topk=topk)
+        d1, i1 = idx.search(queries, topk=topk, block=block)
+        d2, i2 = idx.search_cpu(queries, topk=topk)
+        np.testing.assert_array_equal(d0, d1)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(d0, d2)
+        np.testing.assert_array_equal(i0, i2)
+        if topk <= -(-n // mesh.size):
+            d3, i3 = idx.search(queries, topk=topk, block=block, mesh=mesh)
+            np.testing.assert_array_equal(d0, d3)
+            np.testing.assert_array_equal(i0, i3)
