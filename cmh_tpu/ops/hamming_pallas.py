@@ -49,8 +49,13 @@ def _hamming_kernel(q_ref, gt_ref, out_ref, *, words: int):
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 @functools.partial(
-    jax.jit, static_argnames=("tile_q", "tile_n", "interpret", "out_dtype")
+    jax.jit,
+    static_argnames=("tile_q", "tile_n", "interpret", "out_dtype", "bits"),
 )
 def hamming_packed(
     q_packed: jax.Array,
@@ -59,6 +64,7 @@ def hamming_packed(
     tile_n: int = 512,
     interpret: bool = False,
     out_dtype=None,
+    bits: int = 0,
 ) -> jax.Array:
     """Hamming distances between packed codes.
 
@@ -66,9 +72,12 @@ def hamming_packed(
       q_packed: (Q, W) uint32 packed query codes.
       g_packed: (N, W) uint32 packed gallery codes.
       out_dtype: output element type. Defaults to the narrowest unsigned int
-        that holds the max distance (32·W): uint8 for codes ≤ 255 bits —
-        the kernel is bound by writing the (Q, N) output, so narrow dtypes
-        are a direct bandwidth multiplier.
+        that holds the max distance — the kernel is bound by writing the
+        (Q, N) output, so narrow dtypes are a direct bandwidth multiplier.
+      bits: the true code length when the caller knows it (defaults to the
+        padded width 32·W). Matters at the uint8 boundary: 225–255-bit
+        codes pack to 8 words (32·8 = 256 would select uint16) but every
+        real distance fits uint8.
     Returns:
       (Q, N) Hamming distance matrix. Padding bits cancel in XOR as long as
       both operands were packed with `pack_bits` (pad bits = 0).
@@ -77,7 +86,7 @@ def hamming_packed(
     n, w2 = g_packed.shape
     assert w == w2, f"word-width mismatch: {w} vs {w2}"
     if out_dtype is None:
-        max_d = 32 * w
+        max_d = bits if 0 < bits <= 32 * w else 32 * w
         out_dtype = (
             jnp.uint8 if max_d <= 255 else
             jnp.uint16 if max_d <= 65535 else jnp.int32
@@ -108,10 +117,6 @@ def hamming_packed(
     return out[:q, :n]
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def hamming_packed_reference(q_packed: jax.Array, g_packed: jax.Array) -> jax.Array:
     """Pure-jnp oracle for the Pallas kernel (XOR + popcount via unpacking)."""
     shifts = jnp.arange(32, dtype=jnp.uint32)
@@ -136,4 +141,4 @@ def hamming_from_codes(
     the right one.
     """
     return hamming_packed(pack_bits(q_codes), pack_bits(g_codes),
-                          interpret=interpret)
+                          interpret=interpret, bits=q_codes.shape[1])

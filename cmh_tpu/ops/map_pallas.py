@@ -45,11 +45,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .hamming_pallas import _round_up
 from .metrics import calc_label_sim
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _lane_layout(bits: int, tq: int):
@@ -251,6 +248,36 @@ def _packed_T(q_codes, r_codes, gnd, bits: int) -> jax.Array:
     return (2.0 * d + gnd.T).astype(_packed_dtype(bits))
 
 
+def _grab_chunk(a, start, stop, chunk, fill):
+    x = a[start:stop]
+    if stop - start < chunk:
+        x = jnp.pad(x, ((0, chunk - (stop - start)), (0, 0)),
+                    constant_values=fill)
+    return x
+
+
+def _chunk_d2T(q_img, q_txt, ql, r_stack, rl, start, stop, chunk, bits,
+               pad_rows, c_pad, sentinel):
+    """One padded (Npad, c_pad) packed ``2·d + g`` matrix covering all four
+    directions for queries [start, stop). The ONE shared implementation of
+    the per-chunk padding/packing rules — the single-device and sharded
+    eval paths must never diverge here. Tail chunks pad queries with +1
+    codes and ZERO labels (total 0 → AP 0); gallery rows pad to the tile
+    multiple and spare columns fill with the sentinel word (> every real
+    bucket, relevance 0)."""
+    qs = (_grab_chunk(q_img, start, stop, chunk, 1.0),
+          _grab_chunk(q_txt, start, stop, chunk, 1.0))
+    lc = _grab_chunk(ql, start, stop, chunk, 0.0)
+    gnd = calc_label_sim(lc, rl)
+    d2T = jnp.concatenate(
+        [_packed_T(qc, rc, gnd, bits)
+         for qc, rc in zip((qs[0], qs[1], qs[0], qs[1]), r_stack)],
+        axis=1,
+    )
+    return jnp.pad(d2T, ((0, pad_rows), (0, c_pad - 4 * chunk)),
+                   constant_values=sentinel)
+
+
 def calc_map_k_4dir_pallas(
     q_img, q_txt, r_img, r_txt, query_labels, retrieval_labels,
     k: Optional[int] = None, chunk: int = 1024, tq: int = 32, tn: int = 256,
@@ -293,33 +320,14 @@ def calc_map_k_4dir_pallas(
     for start in range(0, num_query, chunk):
         stop = min(start + chunk, num_query)
         size = stop - start
-        # pad the tail chunk to the full chunk size so EVERY chunk runs the
+        # tail chunks pad to the full chunk size so EVERY chunk runs the
         # same compiled programs (a 904-query tail otherwise costs its own
-        # XLA compiles of the packing/label matmuls on first eval); padded
-        # queries carry zero labels → total 0 → ap 0
-        def grab(a):
-            x = a[start:stop]
-            if size < chunk:
-                x = jnp.pad(x, ((0, chunk - size), (0, 0)),
-                            constant_values=1.0)
-            return x
-
-        qs = (grab(q_img), grab(q_txt), grab(q_img), grab(q_txt))
-        lc = ql[start:stop]
-        if size < chunk:
-            lc = jnp.pad(lc, ((0, chunk - size), (0, 0)))
-        gnd = calc_label_sim(lc, rl)                        # (chunk, N)
-        d2_parts = [
-            _packed_T(qc, rc, gnd, bits) for qc, rc in zip(qs, r_stack)
-        ]
-        d2T = jnp.concatenate(d2_parts, axis=1)             # (N, 4*chunk)
-        q_cols = 4 * chunk
-        d2T = jnp.pad(d2T, ((0, pad_rows), (0, c_pad - q_cols)),
-                      constant_values=sentinel)
-
+        # XLA compiles of the packing/label matmuls on first eval)
+        d2T = _chunk_d2T(q_img, q_txt, ql, r_stack, rl, start, stop, chunk,
+                         bits, pad_rows, c_pad, sentinel)
         ap = _map_counting_pallas(d2T, k_arr, bits, tq=tq, tn=tn,
                                   interpret=interpret)
-        ap4 = np.asarray(ap[:q_cols]).reshape(4, chunk)
+        ap4 = np.asarray(ap[: 4 * chunk]).reshape(4, chunk)
         totals += ap4[:, :size].sum(axis=1)
     maps = totals / num_query
     return tuple(float(m) for m in maps)
@@ -371,36 +379,18 @@ def calc_map_k_4dir_pallas_sharded(
     sentinel = np.dtype(_packed_dtype(bits)).type(2 * (bits + 1))
     k_arr = jnp.float32(np.inf if k is None else float(k))
 
+    c_pad = _round_up(4 * lchunk, tq)
+
     def local_fn(qi, qt, lc, ri, rt, rlg):
         r_stack = (rt, ri, ri, rt)
         totals = jnp.zeros((4,), jnp.float32)
         for start in range(0, local_n, lchunk):
             stop = min(start + lchunk, local_n)
-            size = stop - start
-
-            def grab(a):
-                x = a[start:stop]
-                if size < lchunk:
-                    x = jnp.pad(x, ((0, lchunk - size), (0, 0)),
-                                constant_values=1.0)
-                return x
-
-            qs = (grab(qi), grab(qt), grab(qi), grab(qt))
-            lcc = lc[start:stop]
-            if size < lchunk:
-                lcc = jnp.pad(lcc, ((0, lchunk - size), (0, 0)))
-            gnd = calc_label_sim(lcc, rlg)
-            d2T = jnp.concatenate(
-                [_packed_T(qc, rc, gnd, bits) for qc, rc in zip(qs, r_stack)],
-                axis=1,
-            )
-            q_cols = 4 * lchunk
-            c_pad = _round_up(q_cols, tq)
-            d2T = jnp.pad(d2T, ((0, pad_rows), (0, c_pad - q_cols)),
-                          constant_values=sentinel)
+            d2T = _chunk_d2T(qi, qt, lc, r_stack, rlg, start, stop, lchunk,
+                             bits, pad_rows, c_pad, sentinel)
             ap = _map_counting_pallas(d2T, k_arr, bits, tq=tq, tn=tn,
                                       interpret=interpret)
-            totals = totals + ap[:q_cols].reshape(4, lchunk).sum(axis=1)
+            totals = totals + ap[: 4 * lchunk].reshape(4, lchunk).sum(axis=1)
         return jax.lax.psum(totals, axes)
 
     qspec = P(axes)

@@ -42,11 +42,11 @@ def _pack_bits_host(codes: np.ndarray) -> np.ndarray:
     ).sum(axis=-1, dtype=np.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("topk", "interpret"))
-def _search(q_packed, g_packed, topk: int, interpret: bool = False):
-    dist = hamming_packed(q_packed, g_packed, interpret=interpret).astype(
-        jnp.int32
-    )  # (Q, N)
+@functools.partial(jax.jit, static_argnames=("topk", "interpret", "bits"))
+def _search(q_packed, g_packed, topk: int, interpret: bool = False,
+            bits: int = 0):
+    dist = hamming_packed(q_packed, g_packed, interpret=interpret,
+                          bits=bits).astype(jnp.int32)  # (Q, N)
     # lax.top_k breaks ties toward lower indices — exactly the stable
     # insertion-order tie-break the mAP metrics use
     neg_top, idx = jax.lax.top_k(-dist, topk)
@@ -251,7 +251,7 @@ class RetrievalIndex:
         elif gallery.shape[0] > block:
             dist, idx = _search_blocked(qp, gallery, topk, block, interpret)
         else:
-            dist, idx = _search(qp, gallery, topk, interpret)
+            dist, idx = _search(qp, gallery, topk, interpret, self.bits)
         return np.asarray(dist), np.asarray(idx)
 
     def search_cpu(self, query_codes, topk: int = 10,

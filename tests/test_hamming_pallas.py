@@ -63,3 +63,25 @@ def test_dense_matmul_crossover_documented():
         hamming_from_codes(jnp.asarray(q), jnp.asarray(g), interpret=True)
     )
     np.testing.assert_array_equal(dense.astype(np.int32), packed)
+
+
+def test_output_dtype_narrows_at_true_bit_count():
+    """225–255-bit codes pack to 8 words (32·8 = 256) but every distance
+    fits uint8 — the kernel is output-bandwidth-bound, so the true bit
+    count (not the padded word width) must select the dtype."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cmh_tpu.ops.hamming_pallas import hamming_from_codes, hamming_packed
+    from cmh_tpu.ops.hashing import pack_bits
+
+    rng = np.random.RandomState(0)
+    q = rng.choice([-1.0, 1.0], size=(4, 240)).astype(np.float32)
+    g = rng.choice([-1.0, 1.0], size=(9, 240)).astype(np.float32)
+    d = hamming_from_codes(jnp.asarray(q), jnp.asarray(g), interpret=True)
+    assert d.dtype == jnp.uint8
+    # without the hint, the padded width (256) must stay on the safe side
+    d2 = hamming_packed(pack_bits(jnp.asarray(q)), pack_bits(jnp.asarray(g)),
+                        interpret=True)
+    assert d2.dtype == jnp.uint16
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d2))
