@@ -107,22 +107,40 @@ class HostDataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err: list = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # abandoned iterators (e.g. `next(iter(loader))` shape probes)
+            # must not leave this thread blocked on a full queue forever,
+            # pinning ~prefetch batches of memory per construction
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for chunk, size in steps:
-                    q.put(self._make_batch(chunk, size))
+                    if not put(self._make_batch(chunk, size)):
+                        return
             except Exception as e:  # surface worker errors to the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # runs on GeneratorExit too (consumer dropped the iterator)
+            stop.set()

@@ -227,7 +227,15 @@ class BaseTrainer:
         self._params0 = params
         self._model_state0 = variables  # batch_stats etc. (may be empty)
 
-        if self.model_state and os.path.isfile(self.model_state):
+        if self.model_state:
+            # a provided-but-missing weights file must fail loudly — falling
+            # through to random init would report random-weight mAPs as the
+            # model's test result
+            if not os.path.isfile(self.model_state):
+                raise FileNotFoundError(
+                    f"run.resume_model points at {self.model_state!r}, "
+                    "which does not exist"
+                )
             self.logger.info("loading model...")
             self._params0, self._model_state0 = self.load_model_file(
                 self.model_state, self._params0, self._model_state0
@@ -290,6 +298,12 @@ class BaseTrainer:
         # storing activations (jax.checkpoint) — enables larger per-chip
         # batches at ~1.3× step FLOPs. cfg.run.remat: true
         use_remat = bool(self.cfg.run.get("remat", False))
+        if use_remat and mutable_keys:
+            self.logger.warning(
+                "run.remat ignored: the model carries mutable collections "
+                f"({mutable_keys}) which jax.checkpoint cannot wrap — "
+                "activations will be stored"
+            )
 
         def train_step(state: TrainState, batch):
             rngs = {"dropout": jax.random.fold_in(dropout_base, state.step)}
@@ -491,7 +505,7 @@ class BaseTrainer:
                 with open(sidecar) as f:
                     return json.load(f).get("fingerprint")
             except (OSError, ValueError):
-                return None
+                pass  # unreadable sidecar: fall through to the msgpack meta
         try:
             # sidecar-less fallback, bounded: parsing the msgpack means
             # materializing the whole state blob just to read meta — fine
@@ -535,7 +549,15 @@ class BaseTrainer:
             os.path.join(root, "*", "checkpoint-last.msgpack")
         ) + glob.glob(os.path.join(root, "*", "emergency.ckpt.msgpack"))
         mine = self._config_fingerprint()
-        for path in sorted(candidates, key=os.path.getmtime, reverse=True):
+        def mtime(p):
+            # a sibling run may delete its checkpoint between glob and sort;
+            # never let that crash the restart loop
+            try:
+                return os.path.getmtime(p)
+            except OSError:
+                return 0.0
+
+        for path in sorted(candidates, key=mtime, reverse=True):
             fp = self._read_checkpoint_fingerprint(path)
             if fp == mine:
                 yield path
@@ -567,6 +589,14 @@ class BaseTrainer:
         if resume_from:
             start_epoch = self.load_checkpoint(resume_from)
         elif self.cfg.run.get("auto_resume", False):
+            # snapshot the pristine init: load_checkpoint mutates
+            # self.state/trackers before it can still fail (e.g. an older
+            # extra-meta schema raising in _restore_extra_checkpoint_meta);
+            # without a rollback the "fresh start" would silently train on
+            # the rejected checkpoint's weights
+            pristine = (self.state, self.global_step, self.max_mapi2t,
+                        self.max_mapt2i, self.best_epoch_i,
+                        self.best_epoch_t, self._extra_checkpoint_meta())
             for cand in self._resume_candidates():
                 try:
                     start_epoch = self.load_checkpoint(cand)
@@ -579,19 +609,27 @@ class BaseTrainer:
                         f"auto_resume: {cand} unreadable "
                         f"({type(e).__name__}: {e}) — trying next candidate"
                     )
+                    (self.state, self.global_step, self.max_mapi2t,
+                     self.max_mapt2i, self.best_epoch_i,
+                     self.best_epoch_t, extra) = pristine
+                    self._restore_extra_checkpoint_meta(extra)
+                    start_epoch = 0
         ckpt_every = int(self.cfg.run.get("checkpoint_every", 0))
         epoch = start_epoch
-        # preemption safety: SIGTERM (the pod-reclaim signal) becomes a
-        # raise at the next python bytecode, landing in the emergency-save
-        # path below. Only the main thread can own signal handlers; tests
+        # preemption safety: SIGTERM (the pod-reclaim signal) sets a flag;
+        # the train loops raise PreemptionRequested at the next SAFE point
+        # (between steps/chunks/epochs). A raise straight from the handler
+        # could land in the window between a donating jit call returning
+        # and the `self.state = …` store, leaving self.state pointing at
+        # donated (deleted) buffers that the emergency save cannot
+        # serialize. Only the main thread can own signal handlers; tests
         # that drive trainers from worker threads skip the install.
         import signal
 
+        self._preempt_signal = None
+
         def _on_sigterm(signum, frame):
-            # repeated SIGTERMs (orchestrators resend) must not interrupt
-            # the emergency save the first one triggers
-            signal.signal(signal.SIGTERM, signal.SIG_IGN)
-            raise PreemptionRequested(f"signal {signum}")
+            self._preempt_signal = signum
 
         installed = False
         try:
@@ -601,6 +639,7 @@ class BaseTrainer:
             prev_handler = None
         try:
             for epoch in range(start_epoch, self.epochs):
+                self._check_preempted()
                 self.train_epoch(epoch)
                 self.valid(epoch, k=self.top_k)
                 if ckpt_every and (epoch + 1) % ckpt_every == 0:
@@ -610,7 +649,12 @@ class BaseTrainer:
                     )
         except PreemptionRequested:
             path = os.path.join(self.save_dir, "emergency.ckpt.msgpack")
-            self.save_checkpoint(path, epoch=epoch)
+            try:
+                self.save_checkpoint(path, epoch=epoch)
+            except Exception:
+                self.logger.error("preempted (SIGTERM); emergency save "
+                                  "failed too")
+                return
             self.logger.error(
                 f"preempted (SIGTERM) — state saved to {path}; restart the "
                 "same command with run.auto_resume to continue"
@@ -633,6 +677,14 @@ class BaseTrainer:
             f">>>>>>> FINISHED >>>>>> Best epoch, I-T: {self.best_epoch_i}, "
             f"mAP: {self.max_mapi2t}, T-I: {self.best_epoch_t}, mAP: {self.max_mapt2i}"
         )
+
+    def _check_preempted(self):
+        """Raise PreemptionRequested if SIGTERM arrived — called at safe
+        points only (self.state is consistent, no donated buffers live)."""
+        if getattr(self, "_preempt_signal", None) is not None:
+            sig = self._preempt_signal
+            self._preempt_signal = None  # one save per preemption
+            raise PreemptionRequested(f"signal {sig}")
 
     def _stack_host_batches(self, batches):
         """N same-shape loader batches → one stacked host batch with a
@@ -680,6 +732,7 @@ class BaseTrainer:
                     )
                     full_flushed = True
                     buf = []
+                    self._check_preempted()
             if buf and not full_flushed and len(buf) > 1:
                 # loader shorter than scan_steps: scan the whole epoch —
                 # the same compiled program every epoch
@@ -699,6 +752,7 @@ class BaseTrainer:
                         self.state, self._put_batch(b)
                     )
                     all_loss = loss if all_loss is None else all_loss + loss
+                    self._check_preempted()
                     if self.global_step % self.display_step == 0:
                         self.print_loss_dict(
                             jax.tree_util.tree_map(float, loss_dict),
@@ -724,8 +778,12 @@ class BaseTrainer:
             self.state, loss, loss_dict = self._train_step(self.state, device_batch)
             all_loss = loss if all_loss is None else all_loss + loss
             examples += int(batch["valid"].sum())
+            self._check_preempted()
             if self._profiling and self.global_step >= 2 + self.profile_steps:
-                jax.block_until_ready(loss)
+                # force a host VALUE fetch: block_until_ready does not
+                # reliably block on the tunneled backend (CLAUDE.md
+                # benchmarking trap #1), and a trace stopped early is empty
+                float(loss)
                 jax.profiler.stop_trace()
                 self._profiling = False
                 self.logger.info(f"profiler trace written to {self.profile_dir}")
@@ -853,6 +911,11 @@ class BaseTrainer:
         retrieval_img, retrieval_txt = self.get_code(
             self.retrieval_loader, self.retrieval_num
         )
+        # force a host VALUE fetch before stopping the clock: the encode
+        # dispatches are async and block_until_ready is unreliable on the
+        # tunneled backend — otherwise encode time bleeds into the mAP split
+        for arr in (query_img, query_txt, retrieval_img, retrieval_txt):
+            float(arr[-1, 0])
         t_code = time.time() - t0
         t0 = time.time()
         mapi2t, mapt2i, mapi2i, mapt2t = self.calc_map_4dir(

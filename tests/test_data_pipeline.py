@@ -176,3 +176,41 @@ def test_normalize_branches_on_dtype():
     out = normalize(unit_float)
     expected = np.broadcast_to((0.5 - CLIP_MEAN) / CLIP_STD, out.shape)
     np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_abandoned_loader_iterator_releases_worker(mat_dataset_dir):
+    """`next(iter(loader))` shape probes abandon the generator; the prefetch
+    worker must notice (stop event) instead of blocking on the full queue
+    forever, pinning ~prefetch batches of memory per trainer construction."""
+    import gc
+    import threading
+    import time
+
+    root, _ = mat_dataset_dir
+    np.random.seed(1814)
+    train, _, _ = build_dataloader(
+        captionFile=str(root / "caption.mat"),
+        indexFile=str(root / "index.mat"),
+        labelFile=str(root / "label.mat"),
+        imageResolution=32,
+        query_num=6,
+        train_num=10,
+        dataset_cls="transformer_dataset",
+        tokenizer=SimpleTokenizer(),
+        maxWords=12,
+    )
+    loader = HostDataLoader(train, batch_size=2, shuffle=False, prefetch=1)
+    before = threading.active_count()
+    for _ in range(8):
+        it = iter(loader)
+        next(it)
+        del it
+    gc.collect()
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        if threading.active_count() <= before + 1:
+            break
+        time.sleep(0.3)
+    assert threading.active_count() <= before + 1, (
+        f"{threading.active_count() - before} leaked prefetch workers"
+    )

@@ -555,3 +555,43 @@ def test_auto_resume_survives_truncated_checkpoint(tmp_path):
                             run_extra={"epochs": 1, "auto_resume": True})
     tr_fresh.train()
     assert int(tr_fresh.state.step) > 0
+
+
+def test_missing_resume_model_fails_loudly(tmp_path):
+    """A provided-but-missing weights file must raise, not silently fall
+    back to random init (which would report random-weight mAPs as the
+    model's test result)."""
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="does not exist"):
+        tiny_trainer(tmp_path, "DCMHT", "DCMHTTrainer",
+                     run_extra={"is_train": False,
+                                "resume_model": str(tmp_path / "nope.msgpack")})
+
+
+def test_auto_resume_rolls_back_after_partial_load(tmp_path, monkeypatch):
+    """If a fingerprint-matching candidate mutates trainer state and THEN
+    fails (e.g. an older extra-meta schema), the fresh-start fallback must
+    run from pristine init, not the rejected checkpoint's weights."""
+    tr_a = tiny_trainer(tmp_path / "a", "DCMHT", "DCMHTTrainer")
+    tr_a.save_checkpoint(str(tmp_path / "a" / "checkpoint-last.msgpack"),
+                         epoch=1)
+
+    tr_b = tiny_trainer(tmp_path / "b", "DCMHT", "DCMHTTrainer",
+                        run_extra={"epochs": 1, "auto_resume": True})
+    pristine_leaf = np.asarray(
+        jax.tree_util.tree_leaves(tr_b.state.params)[0]).copy()
+
+    orig = type(tr_b).load_checkpoint
+
+    def poisoned(self, path):
+        out = orig(self, path)          # mutates self.state + trackers
+        self.global_step = 777
+        raise KeyError("simulated older extra-meta schema")
+
+    monkeypatch.setattr(type(tr_b), "load_checkpoint", poisoned)
+    tr_b.train()  # falls back to fresh start
+    monkeypatch.setattr(type(tr_b), "load_checkpoint", orig)
+    assert tr_b.global_step != 777, "rollback must clear partial mutations"
+    # one fresh epoch from step 0: step count equals one epoch's batches
+    assert int(tr_b.state.step) == len(tr_b.train_loader)
