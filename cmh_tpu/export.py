@@ -122,7 +122,17 @@ def load_encoders(path: str) -> LoadedEncoders:
     from jax import export as jx
 
     with zipfile.ZipFile(path) as z:
-        assert z.read("magic").decode() == _MAGIC, "not a cmh encoder export"
+        # explicit check (asserts vanish under python -O): a wrong file
+        # should fail HERE with a named error, not deep in deserialize
+        try:
+            magic = z.read("magic").decode()
+        except KeyError:
+            magic = "<missing>"
+        if magic != _MAGIC:
+            raise ValueError(
+                f"{path!r} is not a cmh encoder export "
+                f"(magic {magic!r}, expected {_MAGIC!r})"
+            )
         img = jx.deserialize(bytearray(z.read("image.stablehlo")))
         txt = jx.deserialize(bytearray(z.read("text.stablehlo")))
     return LoadedEncoders(img, txt)

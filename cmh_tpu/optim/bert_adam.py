@@ -124,8 +124,11 @@ def scheduled_lr_factor(
     if t_total == -1:
         return jnp.asarray(1.0, jnp.float32)
     progress = jnp.asarray(step, jnp.float32) / t_total
-    w = warmup if warmup != -1 else 0.002
-    return SCHEDULES[schedule](progress, w)
+    # warmup=-1 passes through RAW, exactly like the reference (its schedule
+    # fns then never take the ramp branch: x < -1 is false for x >= 0) —
+    # rewriting it to 0.002 here would double the mid-run lr vs the
+    # reference for direct bert_adam(t_total=...) callers
+    return SCHEDULES[schedule](progress, warmup)
 
 
 def bert_adam(
@@ -159,7 +162,13 @@ def bert_adam(
     """
     if schedule not in SCHEDULES:
         raise ValueError(f"Invalid schedule parameter: {schedule}")
-    if flat and lr_map is None:
+    if flat:
+        if lr_map is not None:
+            raise ValueError(
+                "flat=True requires a uniform lr — per-leaf lr_map would "
+                "silently fall back to the slow tree path (and a different "
+                "checkpoint state format); drop flat or lr_map"
+            )
         return _bert_adam_flat(lr, warmup, t_total, schedule, b1, b2, e,
                                weight_decay, max_grad_norm)
 

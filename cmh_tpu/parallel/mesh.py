@@ -40,9 +40,24 @@ def make_mesh(
     if n_devices is not None:
         devs = devs[:n_devices]
     n = len(devs)
-    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    if n % tp != 0:  # explicit: asserts vanish under python -O
+        raise ValueError(f"{n} devices not divisible by tp={tp}")
     arr = np.asarray(devs).reshape(n // tp, tp)
     return Mesh(arr, (DP_AXIS, TP_AXIS))
+
+
+def check_batch_divisible(batch_size: int, mesh: Mesh, what: str = "batch_size"):
+    """Fail with a named error instead of a deep GSPMD 'not divisible'
+    crash on the first sharded step: batches shard over the dp axis, so
+    every batch size must be a multiple of it (e.g. the reference protocol's
+    batch 100 cannot shard over 8 devices)."""
+    dp = mesh.shape[DP_AXIS]
+    if batch_size % dp != 0:
+        raise ValueError(
+            f"{what}={batch_size} is not divisible by the mesh dp axis "
+            f"({dp} devices) — choose a multiple (e.g. "
+            f"{-(-batch_size // dp) * dp})"
+        )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -22,11 +22,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import TP_AXIS
 
-# (path-suffix, spec) — first match wins. Kernels are (in, out).
+# (path-suffix, spec) — first match wins. Kernels are (in, out). The
+# attention module name varies ("attn" in CLIP towers, "self_attn"/
+# "cross_attn" in UMoED's decoder) — suffix elements ending in "*" match
+# any path component with that trailing text, so every MultiHeadAttention
+# shards regardless of its instance name.
+#
+# Known layout caveat: the packed (d, 3d) in_proj kernel splits the QKV
+# axis CONTIGUOUSLY over tp, so the q/k/v boundaries (at d and 2d) cross
+# shards and GSPMD inserts reshardings around the per-head split — exact
+# (tested vs unsharded) but not the head-aligned Megatron layout; a clean
+# fix needs a (d, 3, d)-shaped param, i.e. a model/checkpoint change.
+# Revisit if tp>1 ever runs on real multi-chip hardware.
 _TP_RULES = (
-    (("attn", "in_proj_kernel"), P(None, TP_AXIS)),   # QKV columns
-    (("attn", "in_proj_bias"), P(TP_AXIS)),
-    (("attn", "out_proj_kernel"), P(TP_AXIS, None)),  # rows (contracted)
+    (("*attn", "in_proj_kernel"), P(None, TP_AXIS)),  # QKV columns
+    (("*attn", "in_proj_bias"), P(TP_AXIS)),
+    (("*attn", "out_proj_kernel"), P(TP_AXIS, None)),  # rows (contracted)
     (("c_fc", "kernel"), P(None, TP_AXIS)),           # MLP up
     (("c_fc", "bias"), P(TP_AXIS)),
     (("c_proj", "kernel"), P(TP_AXIS, None)),         # MLP down
@@ -40,12 +51,18 @@ _TP_RULES = (
 )
 
 
+def _match(name: str, pat: str) -> bool:
+    return name.endswith(pat[1:]) if pat.startswith("*") else name == pat
+
+
 def _spec_for_path(path) -> P:
     names = tuple(
         p.key if hasattr(p, "key") else str(p) for p in path
     )
     for suffix, spec in _TP_RULES:
-        if names[-len(suffix):] == suffix:
+        if len(names) >= len(suffix) and all(
+            _match(n, p) for n, p in zip(names[-len(suffix):], suffix)
+        ):
             return spec
     return P()
 
@@ -63,18 +80,12 @@ def state_shardings(state, mesh: Mesh):
     rep = NamedSharding(mesh, P())
     param_sh = tp_param_shardings(state.params, mesh)
 
-    def opt_shard(opt_state):
-        # BertAdam moments mirror the param tree inside each partition entry,
-        # so the same path-based rules apply leaf-for-leaf.
-        return jax.tree_util.tree_map_with_path(
-            lambda path, leaf: NamedSharding(mesh, _spec_for_path(path)),
-            opt_state,
-        )
-
     return type(state)(
         params=param_sh,
         model_state=jax.tree_util.tree_map(lambda _: rep, state.model_state),
-        opt_state=opt_shard(state.opt_state),
+        # BertAdam moments mirror the param tree inside each partition entry,
+        # so the same path-based rules apply leaf-for-leaf
+        opt_state=tp_param_shardings(state.opt_state, mesh),
         method_state=jax.tree_util.tree_map(lambda _: rep, state.method_state),
         step=rep,
     )

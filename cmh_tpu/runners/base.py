@@ -189,6 +189,11 @@ class BaseTrainer:
         # eval batches can be much larger than train batches (no activations
         # to store) — fewer device dispatches for the code-generation sweep
         eval_batch = self.cfg.run.get("eval_batch_size", batch_size)
+        if self.mesh is not None:
+            from ..parallel.mesh import check_batch_divisible
+
+            check_batch_divisible(batch_size, self.mesh, "run.batch_size")
+            check_batch_divisible(eval_batch, self.mesh, "run.eval_batch_size")
         self.train_loader = HostDataLoader(
             train_data, batch_size=batch_size, shuffle=shuffle,
             pad_to_batch=True, num_workers=workers,

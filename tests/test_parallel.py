@@ -473,3 +473,39 @@ def test_checkpoint_restore_continues_training_under_tp_mesh(tmp_path):
 
     assert np.isfinite(float(loss2))
     np.testing.assert_allclose(float(loss2), float(loss3), rtol=1e-5)
+
+
+def test_tp_rules_match_any_attention_module_name():
+    """UMoED's decoder names its attention modules self_attn/cross_attn;
+    the TP rules must shard them like CLIP's 'attn' (they silently stayed
+    replicated before the *attn wildcard)."""
+    from types import SimpleNamespace
+
+    from jax.sharding import PartitionSpec as P
+
+    from cmh_tpu.parallel.mesh import TP_AXIS
+    from cmh_tpu.parallel.tp import _spec_for_path
+
+    def path(*names):
+        return tuple(SimpleNamespace(key=n) for n in names)
+
+    for attn in ("attn", "self_attn", "cross_attn"):
+        assert _spec_for_path(path("layer_0", attn, "in_proj_kernel")) == \
+            P(None, TP_AXIS), attn
+        assert _spec_for_path(path("layer_0", attn, "out_proj_kernel")) == \
+            P(TP_AXIS, None), attn
+    # no false positives: unrelated modules stay replicated
+    assert _spec_for_path(path("layer_0", "pattern", "kernel")) == P()
+    assert _spec_for_path(path("in_proj_kernel",)) == P()
+
+
+def test_mesh_batch_divisibility_named_error(tmp_path):
+    """A batch size that cannot shard over dp must fail at setup with a
+    named error, not a deep GSPMD 'not divisible' crash on step 1."""
+    import pytest
+
+    from util_methods import tiny_trainer
+
+    with pytest.raises(ValueError, match="divisible by the mesh dp axis"):
+        tiny_trainer(tmp_path, "DCMHT", "DCMHTTrainer", batch=10,
+                     run_extra={"distribute": True})
