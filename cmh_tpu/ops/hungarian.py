@@ -72,6 +72,15 @@ def auction_assignment(cost: jax.Array, phases: int = 12,
     optimal whenever distinct assignment totals differ by more than B·ε —
     always the case for generic float cost matrices (verified against scipy
     on random ≤128×128 instances in tests).
+
+    Pathological EXACT ties (e.g. DNPH late in training: saturated ±1 codes
+    and duplicated noise rows make whole cost columns identical) hit fp32's
+    limits — once prices dwarf ε, tie-increments are absorbed and bidding
+    can cycle without progress. The stall guard below then ends the phase
+    and a greedy completion on the actual costs fills the remainder: the
+    result is ALWAYS a valid permutation, never worse than the greedy
+    fallback, and within a few percent of optimal on such instances
+    (tested); only generic instances carry the exactness guarantee.
     """
     n = cost.shape[0]
     if n == 1:
@@ -86,11 +95,19 @@ def auction_assignment(cost: jax.Array, phases: int = 12,
         owner = jnp.full((n,), -1, jnp.int32)  # col → row (-1: free)
 
         def round_cond(state):
-            owner, _, it = state
-            return jnp.logical_and(jnp.any(owner < 0), it < 50_000)
+            owner, _, it, stall = state
+            # `stall` guards against the fp livelock: once prices are large
+            # enough that ``price + eps == price`` (eps absorbed), rows tied
+            # on one column can evict each other forever with no price
+            # movement. Progress = a price strictly rose OR a free column
+            # was filled; rounds without either get a bounded grace (under
+            # frozen prices any legitimate eviction chain reaches a fill
+            # within ~n rounds), then the phase exits and the repair below
+            # completes the permutation.
+            return jnp.any(owner < 0) & (it < 50_000) & (stall < 2 * n + 8)
 
         def round_body(state):
-            owner, price, it = state
+            owner, price, it, stall = state
             # rows currently assigned = image of owner
             assigned_row = jnp.zeros((n,), bool).at[
                 jnp.where(owner >= 0, owner, n)
@@ -110,13 +127,18 @@ def auction_assignment(cost: jax.Array, phases: int = 12,
             win_bid = jnp.max(bid_mat, axis=0)
             win_row = jnp.argmax(bid_mat, axis=0).astype(jnp.int32)
             got_bid = win_bid > neg_inf
+            new_owner = jnp.where(got_bid, win_row, owner)
+            progress = jnp.any(got_bid & (win_bid > price)) | (
+                jnp.sum(new_owner >= 0) > jnp.sum(owner >= 0)
+            )
             price = jnp.where(got_bid, win_bid, price)
-            owner = jnp.where(got_bid, win_row, owner)
-            return owner, price, it + 1
+            stall = jnp.where(progress, 0, stall + 1)
+            return new_owner, price, it + 1, stall
 
-        owner, price, _ = jax.lax.while_loop(
+        owner, price, _, _ = jax.lax.while_loop(
             round_cond, round_body,
-            (owner, price, jnp.zeros((), jnp.int32)),
+            (owner, price, jnp.zeros((), jnp.int32),
+             jnp.zeros((), jnp.int32)),
         )
         return (price, eps / scaling), owner
 
@@ -125,8 +147,34 @@ def auction_assignment(cost: jax.Array, phases: int = 12,
         run_phase, (jnp.zeros((n,), jnp.float32), eps0), None, length=phases
     )
     owner = owners[-1]                                    # col → row
-    # invert to row → col (owner is a permutation after convergence)
-    assign = jnp.zeros((n,), jnp.int32).at[owner].set(cols)
+    # invert to row → col. After full convergence owner is a permutation;
+    # after a stalled round (fp ties, see round_cond) some columns stay
+    # -1 — a naive scatter would WRAP -1 to index n-1 and silently emit
+    # duplicate/lost columns. Repair deterministically: pair the k-th
+    # unassigned row with the k-th unowned column (owner is injective on
+    # its owned columns, so the free counts always match).
+    col_owned = owner >= 0
+    assign = jnp.full((n,), -1, jnp.int32).at[
+        jnp.where(col_owned, owner, n)
+    ].set(cols, mode="drop")                              # row → col or -1
+    row_free = assign < 0
+    # complete the remainder greedily on the ACTUAL costs (cheapest free
+    # (row, col) pair first) — under exact-tie pathologies this bounds the
+    # fallback at greedy quality instead of arbitrary index pairing; when
+    # the auction converged fully this is a no-op (nothing free)
+    masked = jnp.where(row_free[:, None] & ~col_owned[None, :],
+                       -benefit, jnp.inf)
+
+    def fill(_, st):
+        m, a = st
+        flat = jnp.argmin(m.reshape(-1))
+        ok = jnp.isfinite(m.reshape(-1)[flat])
+        r, c = flat // n, flat % n
+        a = jnp.where(ok, a.at[r].set(c.astype(jnp.int32)), a)
+        m = jnp.where(ok, m.at[r, :].set(jnp.inf).at[:, c].set(jnp.inf), m)
+        return m, a
+
+    _, assign = jax.lax.fori_loop(0, n, fill, (masked, assign))
     return assign
 
 

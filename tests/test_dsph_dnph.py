@@ -317,3 +317,34 @@ def test_auction_on_structured_dnph_costs():
     want_total = cost[np.arange(b), col].sum()
     got_total = np.linalg.norm(codes - got, axis=-1).sum()
     np.testing.assert_allclose(got_total, want_total, rtol=1e-6)
+
+
+def test_auction_always_permutation_under_saturated_ties():
+    """Late-DNPH regime: codes saturate to exact ±1 so cost entries take
+    few distinct values and exact ties are pervasive; duplicate noise rows
+    make entire cost columns identical. The auction must STILL return a
+    valid permutation (the pre-repair code wrapped unconverged -1 owners to
+    index n-1, silently duplicating/losing columns). Exact optimality is
+    only guaranteed on generic instances (fp32 ε-increments are absorbed
+    once ties freeze the prices — documented in auction_assignment); under
+    these pathological exact ties the contract is: valid permutation, no
+    worse than the greedy fallback, within a few percent of optimum."""
+    from scipy.optimize import linear_sum_assignment
+
+    from cmh_tpu.ops.hungarian import auction_assignment, greedy_assignment
+
+    rng = np.random.RandomState(5)
+    for trial in range(6):
+        n, d = 24, 16
+        codes = rng.choice([-1.0, 1.0], size=(n, d)).astype(np.float32)
+        noises = rng.choice([-1.0, 1.0], size=(n, d)).astype(np.float32)
+        noises[n // 2:] = noises[: n - n // 2]  # duplicated columns
+        diff = codes[:, None, :] - noises[None, :, :]
+        cost = np.sqrt(np.maximum((diff * diff).sum(-1), 0.0))
+        col = np.asarray(auction_assignment(jnp.asarray(cost)))
+        assert sorted(col.tolist()) == list(range(n)), f"trial {trial}: not a permutation"
+        greedy = np.asarray(greedy_assignment(jnp.asarray(cost)))
+        _, opt = linear_sum_assignment(cost.astype(np.float64))
+        tot = lambda idx: cost[np.arange(n), idx].sum()
+        assert tot(col) <= tot(greedy) + 1e-3, (trial, tot(col), tot(greedy))
+        assert tot(col) <= tot(opt) * 1.03, (trial, tot(col), tot(opt))
