@@ -141,16 +141,26 @@ class SyntheticDataset(BaseDataset):
         self.max_words = maxWords
         self.is_train = is_train
         self.seed = seed
-        rng = np.random.RandomState(seed)
+        # EVERYTHING about item i is keyed by (seed, i) alone — images via
+        # __getitem__'s per-index RNG, and labels/captions here. A single
+        # sequential stream would make the extra label bits and captions
+        # depend on num_items (stream offset), silently breaking the
+        # "retrieval ⊇ train" invariant the real split guarantees: train
+        # (seed=1, n=train_num) and retrieval (seed=1, n=total-query) must
+        # agree item-for-item on their shared prefix.
         self._labels = np.zeros((num_items, num_classes), dtype=np.int64)
-        primary = rng.randint(0, num_classes, size=num_items)
-        self._labels[np.arange(num_items), primary] = 1
-        extra = rng.rand(num_items, num_classes) < 0.15
-        self._labels |= extra.astype(np.int64)
+        primary = np.empty((num_items,), dtype=np.int64)
+        captions = []
+        for i in range(num_items):
+            # offset 50021 keeps these streams disjoint from __getitem__'s
+            # image streams (seed·100003 + index) for any num_items ≤ 50021
+            r = np.random.RandomState(seed * 100003 + 50021 + i)
+            primary[i] = r.randint(0, num_classes)
+            self._labels[i, primary[i]] = 1
+            self._labels[i] |= (r.rand(num_classes) < 0.15).astype(np.int64)
+            captions.append([" ".join(r.choice(self.WORDS, size=5))])
         self._primary = primary
-        self.captions = np.asarray(
-            [[" ".join(rng.choice(self.WORDS, size=5))] for _ in range(num_items)]
-        )
+        self.captions = np.asarray(captions)
         self.labels = self._labels
 
     def __len__(self) -> int:

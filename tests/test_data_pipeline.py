@@ -214,3 +214,22 @@ def test_abandoned_loader_iterator_releases_worker(mat_dataset_dir):
     assert threading.active_count() <= before + 1, (
         f"{threading.active_count() - before} leaked prefetch workers"
     )
+
+
+def test_synthetic_retrieval_superset_invariant():
+    """The real split guarantees retrieval ⊇ train item-for-item; the
+    synthetic dataset must honor it too: train (seed=1, n=train_num) and
+    retrieval (seed=1, n=total-query) agree on images, labels AND captions
+    for their shared prefix (everything keyed by (seed, index), never by
+    stream position that shifts with num_items)."""
+    from cmh_tpu.data.dataset import SyntheticDataset
+
+    tok = SimpleTokenizer()
+    kw = dict(num_classes=4, imageResolution=16, seed=1, tokenizer=tok,
+              maxWords=12)
+    small = SyntheticDataset(num_items=10, **kw)
+    big = SyntheticDataset(num_items=30, **kw)
+    np.testing.assert_array_equal(small._labels, big._labels[:10])
+    assert (small.captions == big.captions[:10]).all()
+    for i in (0, 3, 9):
+        np.testing.assert_array_equal(small[i][0], big[i][0])
