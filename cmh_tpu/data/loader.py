@@ -94,12 +94,14 @@ class HostDataLoader:
                 if self.drop_last:
                     continue
                 if self.pad_to_batch:
-                    # pad the ragged final batch with *distinct* samples
-                    # wrapped from the start of this epoch's order — never
-                    # copies of one item, which would distort pairwise
-                    # similarity losses if the pad ever leaked past the
-                    # ``valid`` mask (the reference instead ships a ragged
-                    # batch; static shapes keep the XLA compile cache warm)
+                    # pad the ragged final batch with samples wrapped from
+                    # the start of this epoch's order — distinct from the
+                    # tail chunk whenever the dataset has ≥ batch_size
+                    # items (np.resize cycles, so datasets SMALLER than a
+                    # batch necessarily repeat items); padding is excluded
+                    # from losses by the ``valid`` mask either way (the
+                    # reference instead ships a ragged batch; static
+                    # shapes keep the XLA compile cache warm)
                     pad = np.resize(indices, self.batch_size - size)
                     chunk = np.concatenate([chunk, pad])
             steps.append((chunk, size))

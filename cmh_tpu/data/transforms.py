@@ -40,30 +40,13 @@ def random_resized_crop(
     scale=(0.08, 1.0),
     ratio=(3.0 / 4.0, 4.0 / 3.0),
 ) -> Image.Image:
-    """torchvision RandomResizedCrop.get_params semantics."""
+    """torchvision RandomResizedCrop.get_params semantics.
+
+    Delegates the box sampling to ``sample_crop_box`` — the PIL and native
+    paths must consume the RNG stream identically draw-for-draw, so there
+    is exactly ONE implementation of the sampling loop."""
     width, height = img.size
-    area = height * width
-    log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
-    for _ in range(10):
-        target_area = area * rng.uniform(scale[0], scale[1])
-        aspect = np.exp(rng.uniform(log_ratio[0], log_ratio[1]))
-        w = int(round(np.sqrt(target_area * aspect)))
-        h = int(round(np.sqrt(target_area / aspect)))
-        if 0 < w <= width and 0 < h <= height:
-            i = rng.randint(0, height - h + 1)
-            j = rng.randint(0, width - w + 1)
-            return img.resize((size, size), Image.BILINEAR,
-                              box=(j, i, j + w, i + h))
-    # fallback: center crop at clamped aspect
-    in_ratio = width / height
-    if in_ratio < ratio[0]:
-        w, h = width, int(round(width / ratio[0]))
-    elif in_ratio > ratio[1]:
-        h, w = height, int(round(height * ratio[1]))
-    else:
-        w, h = width, height
-    i = (height - h) // 2
-    j = (width - w) // 2
+    i, j, h, w = sample_crop_box(height, width, rng, scale, ratio)
     return img.resize((size, size), Image.BILINEAR, box=(j, i, j + w, i + h))
 
 

@@ -61,8 +61,10 @@ def test_train_loss_decreases(trainer):
                 first = float(loss)
             losses.append(float(loss))
     assert np.isfinite(losses).all()
-    # loss should drop over the run
-    assert np.mean(losses[-3:]) < losses[0], losses
+    # loss should drop over the run — compare the tail against the early
+    # MEAN, not the single first step (BertAdam's warmup makes step 1
+    # near-noop, so its loss is an arbitrary draw that can undershoot)
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
 def test_valid_produces_maps_and_artifacts(trainer):
