@@ -136,6 +136,12 @@ class MultiHeadAttention(nn.Module):
     width: int
     heads: int
     dtype: Any = jnp.bfloat16
+    # torch nn.MultiheadAttention parity knobs for non-CLIP consumers
+    # (UMoED's decoder): dropout on the attention probabilities and torch's
+    # default init (xavier-uniform in_proj, ±1/√d Linear-default out_proj)
+    # instead of CLIP's normal(d^-0.5)
+    attn_dropout: float = 0.0
+    torch_init: bool = False
 
     @nn.compact
     def __call__(
@@ -145,20 +151,28 @@ class MultiHeadAttention(nn.Module):
         key_padding_mask: Optional[jax.Array] = None,  # (B, S) bool, True=pad
         kv: Optional[jax.Array] = None,     # (B, S, D) keys/values (cross-attn)
         need_weights: bool = True,
+        train: bool = False,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         b, l, d = x.shape
         h = self.heads
         hd = d // h
 
+        if self.torch_init:
+            xav = (6.0 / (d + 3 * d)) ** 0.5   # xavier on the packed (3d, d)
+            lin = (1.0 / d) ** 0.5             # torch Linear default
+
+            def u(bound):
+                return lambda key, shape, dtype=jnp.float32:                     jax.random.uniform(key, shape, dtype, -bound, bound)
+
+            in_init, out_init = u(xav), u(lin)
+        else:
+            in_init = out_init = nn.initializers.normal(d**-0.5)
         in_proj = self.param(
-            "in_proj_kernel", nn.initializers.normal(d**-0.5), (d, 3 * d), jnp.float32
+            "in_proj_kernel", in_init, (d, 3 * d), jnp.float32
         )
         in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,), jnp.float32)
         out_kernel = self.param(
-            "out_proj_kernel",
-            nn.initializers.normal(d**-0.5),
-            (d, d),
-            jnp.float32,
+            "out_proj_kernel", out_init, (d, d), jnp.float32
         )
         out_bias = self.param("out_proj_bias", nn.initializers.zeros, (d,), jnp.float32)
 
@@ -186,7 +200,9 @@ class MultiHeadAttention(nn.Module):
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
         scale = hd**-0.5
 
-        if not need_weights and kv is None:
+        if not need_weights and kv is None and not (
+            self.attn_dropout > 0.0 and train
+        ):
             # fused kernel is self-attention only: its blocking assumes
             # S_kv == S_q (cross-attention kv would be truncated)
             from ...ops.fused import fused_kernels_ok
@@ -216,8 +232,13 @@ class MultiHeadAttention(nn.Module):
             neg = jnp.asarray(-jnp.inf, dtype=jnp.float32)
             logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
         weights = jax.nn.softmax(logits, axis=-1)                  # (B, H, L, L) fp32
+        used = weights
+        if self.attn_dropout > 0.0:
+            # torch MHA applies dropout to the attention probabilities
+            used = nn.Dropout(self.attn_dropout, deterministic=not train,
+                              name="attn_drop")(weights)
         out = jnp.einsum(
-            "bhqk,bhkd->bhqd", weights.astype(self.dtype), v,
+            "bhqk,bhkd->bhqd", used.astype(self.dtype), v,
             preferred_element_type=jnp.float32,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d).astype(self.dtype)

@@ -42,6 +42,26 @@ class SingleTokenAttention(nn.Module):
         return out
 
 
+def torch_default_dense(features: int, in_features: int, name: str = None,
+                        dtype=jnp.float32) -> nn.Dense:
+    """Dense with torch nn.Linear's DEFAULT init — kernel AND bias uniform
+    ±1/√fan_in (kaiming_uniform(a=√5) + the bias bound from
+    _calculate_fan_in_and_fan_out). For reference heads built as plain
+    nn.Linear with no explicit init (e.g. DSPH hash/hash.py:10); flax's
+    default (lecun_normal + zero bias) would start from a different
+    distribution. ``in_features`` must be the call-time input width (flax
+    bias_init cannot see the kernel's fan_in)."""
+    bound = 1.0 / (in_features ** 0.5)
+
+    def u(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return nn.Dense(
+        features=features, kernel_init=u, bias_init=u, dtype=dtype,
+        param_dtype=jnp.float32, name=name,
+    )
+
+
 def kaiming_dense(features: int, name: str = None, dtype=jnp.float32) -> nn.Dense:
     """Dense with the reference's kaiming-uniform(fan_out) init + zero bias
     (models/common/hash.py:5-18)."""

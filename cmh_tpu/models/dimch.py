@@ -230,8 +230,11 @@ class DIMCHMethod(Method):
                     clip_cfg: Optional[CLIPConfig] = None) -> "DIMCHMethod":
         clip_cfg = resolve_clip_cfg(cfg_model, clip_cfg)
         g = (lambda k, d: cfg_model.get(k, d)) if cfg_model else (lambda k, d: d)
-        hash_func = g("hash_func", "tanh")
-        set_dim = g("setDim", 8)
+        # defaults mirror the reference signature (DIMCH.py:25-27):
+        # setDim=64, hash_func="softmax" — a config omitting these must
+        # build the same model the reference would
+        hash_func = g("hash_func", "softmax")
+        set_dim = g("setDim", 64)
         if "softmax" in hash_func:
             output_dim *= 2  # reference DIMCH.py:97-98
 

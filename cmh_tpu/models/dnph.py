@@ -156,6 +156,16 @@ class DNPHMethod(Method):
                     clip_cfg: Optional[CLIPConfig] = None) -> "DNPHMethod":
         clip_cfg = resolve_clip_cfg(cfg_model, clip_cfg)
         numclass = cfg_model.get("numclass", 80) if cfg_model else 80
+        # pre_classes is pinned to 80 to replicate the reference quirk
+        # (DNPH.py:27 never forwards numclass); torch F.cross_entropy then
+        # fails LOUDLY when numclass > 80, but jnp.take_along_axis would
+        # silently clamp the target — keep the failure loud here
+        if numclass > DNPHModel.pre_classes:
+            raise ValueError(
+                f"DNPH numclass={numclass} exceeds the reference's fixed "
+                f"pre_classes={DNPHModel.pre_classes} head width "
+                "(the reference crashes in F.cross_entropy here)"
+            )
         mrg = cfg_model.get("mrg", 1.0) if cfg_model else 1.0
         noise_alpha = cfg_model.get("noise_alpha", 1.0) if cfg_model else 1.0
         module = DNPHModel(

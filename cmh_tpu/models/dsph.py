@@ -10,7 +10,7 @@ looked up from the (code-length × ⌈log₂ classes⌉) table the reference shi
 as ``loss/codetable.xlsx`` (DSPH.py:32-35) — embedded here as JSON (no xlsx
 reader in this environment; values extracted from the same workbook).
 
-The proxies live in the param tree under top-level key ``proxy`` and are
+The proxies live in the param tree under top-level key ``proxies`` and are
 trained by a separate SGD(momentum, weight_decay) transform, mirroring the
 reference's second optimizer (runners/DSPH/runner.py:83-127).
 """
@@ -55,9 +55,12 @@ class LinearHash(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        x = nn.Dense(self.output_dim, param_dtype=jnp.float32, name="fc")(
-            x.astype(jnp.float32)
-        )
+        x = x.astype(jnp.float32)
+        # plain nn.Linear in the reference → torch DEFAULT init (kernel and
+        # bias uniform ±1/√fan_in), not flax's lecun_normal + zero bias
+        from .common import torch_default_dense
+
+        x = torch_default_dense(self.output_dim, x.shape[-1], name="fc")(x)
         x = nn.Dropout(rate=self.dropout, deterministic=not train, name="drop")(x)
         return jnp.tanh(x)
 
@@ -76,11 +79,15 @@ class DSPHModel(BaseHashModel):
         self.txt_hash = LinearHash(self.output_dim, dropout=self.dropout,
                                    name="hash_txt")
         # kaiming-normal(fan_out) proxies with the reference's torch seed
-        # discipline replaced by the framework PRNG (HyP.py:11-16)
+        # discipline replaced by the framework PRNG (HyP.py:11-16). torch
+        # fan_out of the (numclass, output_dim) matrix is shape[0] =
+        # numclass → std = √(2/numclass), NOT √(2/output_dim); the loss is
+        # scale-invariant (proxies are normalized) but the separate SGD's
+        # weight decay and through-normalization gradients are not
         self.proxies = self.param(
             "proxies",
             lambda key, shape: jax.random.normal(key, shape)
-            * (2.0 / shape[1]) ** 0.5,
+            * (2.0 / shape[0]) ** 0.5,
             (self.numclass, self.output_dim),
         )
 
@@ -111,9 +118,10 @@ def hyp_loss(img, txt, proxies, labels, *, threshold: float, alpha: float):
     """
     p = labels  # (B, C) one/multi-hot
     proxies_n = _norm(proxies)
+    xn, tn = _norm(img), _norm(txt)
 
-    cos = _norm(img) @ proxies_n.T
-    cos_t = _norm(txt) @ proxies_n.T
+    cos = xn @ proxies_n.T
+    cos_t = tn @ proxies_n.T
     pos, neg = 1.0 - cos, jax.nn.relu(cos - threshold)
     pos_t, neg_t = 1.0 - cos_t, jax.nn.relu(cos_t - threshold)
 
@@ -133,7 +141,6 @@ def hyp_loss(img, txt, proxies, labels, *, threshold: float, alpha: float):
         zero_mask = pair_mask * (cos_sim == 0)
         denom = jnp.sum(zero_mask)
 
-        xn, tn = _norm(img), _norm(txt)
         x_sim = xn @ xn.T
         t_sim = tn @ tn.T
         xt_sim = xn @ tn.T

@@ -41,6 +41,12 @@ from .base import BaseHashModel, Method, resolve_clip_cfg
 from .clip.model import CLIP, CLIPConfig, Transformer
 
 
+def _l2_normalize(x: jax.Array) -> jax.Array:
+    """torch F.normalize semantics: divide by max(||x||, 1e-12) — a raw
+    norm division NaNs the whole loss on an exactly-zero row."""
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
 class ResidualMLPs(nn.Module):
     """Pre-LN residual MLP blocks (reference hash.py:9-38)."""
 
@@ -216,17 +222,14 @@ class MITHModel(BaseHashModel):
         cls_token = cls_token.astype(jnp.float32)
         seq_tokens = seq_tokens.astype(jnp.float32)
         res_img_cls, img_cls_hash = self.gcl(cls_token, train=train)
-        res_img_cls = res_img_cls / jnp.linalg.norm(res_img_cls, axis=-1,
-                                                    keepdims=True)
+        res_img_cls = _l2_normalize(res_img_cls)
         _, token_concepts = self.gcl(seq_tokens, train=train)
         tokens_hash_i, _, trans_tokens_i = self.lct_i(
             seq_tokens, jax.lax.stop_gradient(token_concepts), None,
             train=train,
         )
         trans_tokens_i = self.img_concept_proj(trans_tokens_i)
-        trans_tokens_i = trans_tokens_i / jnp.linalg.norm(
-            trans_tokens_i, axis=-1, keepdims=True
-        )
+        trans_tokens_i = _l2_normalize(trans_tokens_i)
         return res_img_cls, img_cls_hash, tokens_hash_i, trans_tokens_i
 
     def _encode_text_full(self, text, key_padding_mask, train: bool = True):
@@ -236,17 +239,14 @@ class MITHModel(BaseHashModel):
         txt_eos = txt_eos.astype(jnp.float32)
         txt_tokens = txt_tokens.astype(jnp.float32)
         res_txt_cls, txt_cls_hash = self.gcl(txt_eos, train=train)
-        res_txt_cls = res_txt_cls / jnp.linalg.norm(res_txt_cls, axis=-1,
-                                                    keepdims=True)
+        res_txt_cls = _l2_normalize(res_txt_cls)
         _, token_concepts = self.gcl(txt_tokens, train=train)
         tokens_hash_t, _, trans_tokens_t = self.lct_t(
             txt_tokens, jax.lax.stop_gradient(token_concepts), new_kpm,
             train=train,
         )
         trans_tokens_t = self.txt_concept_proj(trans_tokens_t)
-        trans_tokens_t = trans_tokens_t / jnp.linalg.norm(
-            trans_tokens_t, axis=-1, keepdims=True
-        )
+        trans_tokens_t = _l2_normalize(trans_tokens_t)
         return res_txt_cls, txt_cls_hash, tokens_hash_t, trans_tokens_t
 
     def encode_image(self, image, train: bool = True):

@@ -56,10 +56,13 @@ class TwDHModel(BaseHashModel):
         )
 
     def _short(self, long_hash, trans: Dict[str, jax.Array]):
-        from ..ops.hashing import softmax_hash
-
+        # the reference routes short codes through the SAME configured
+        # activation as the long head (self.hash.quantization,
+        # TwDH.py:73,83) — hardcoding softmax would silently mix a tanh
+        # long head with softmax short codes
+        act = _short_activation(self.hash_func)
         return {
-            k: softmax_hash(long_hash @ v.astype(jnp.float32))
+            k: act(long_hash @ v.astype(jnp.float32))
             for k, v in trans.items()
         }
 
@@ -79,7 +82,22 @@ class TwDHModel(BaseHashModel):
         return long_hash, self._short(long_hash, trans)
 
 
-def twdh_loss_fn(*, quan_alpha: float, low_rate: float, noise_key: jax.Array):
+def _short_activation(hash_func: str):
+    """Short-code activation = the configured long-head activation
+    (reference HashLayer.quantization dispatch, TwDH.py:31,73)."""
+    from ..ops.hashing import softmax_hash, tanh_hash
+
+    try:
+        return {"softmax": softmax_hash, "tanh": tanh_hash}[hash_func]
+    except KeyError:
+        raise ValueError(
+            f"TwDH hash_func {hash_func!r} has no short-code activation "
+            "(reference supports softmax/tanh)"
+        ) from None
+
+
+def twdh_loss_fn(*, quan_alpha: float, low_rate: float, noise_key: jax.Array,
+                 hash_func: str = "softmax"):
     def loss(outputs, batch, method_state, step):
         img_long, txt_long = outputs
         labels = batch["label"]
@@ -100,12 +118,12 @@ def twdh_loss_fn(*, quan_alpha: float, low_rate: float, noise_key: jax.Array):
 
         total = long_nce + quan_alpha * long_quan
         short_dict = {}
-        from ..ops.hashing import softmax_hash
+        act = _short_activation(hash_func)
 
         for k in sorted(short_centers.keys()):
             sc, tr = short_centers[k], trans[k]
-            s_img = softmax_hash(img_long @ tr)
-            s_txt = softmax_hash(txt_long @ tr)
+            s_img = act(img_long @ tr)
+            s_txt = act(txt_long @ tr)
             s_target = hash_convert(hash_center_multilabels(labels, sc, key))
             s_nce = (bce_probs(s_img, s_target) + bce_probs(s_txt, s_target)) / 2.0
             s_quan = (soft_argmax_hash_loss(s_img) + soft_argmax_hash_loss(s_txt)) / 2.0
@@ -184,6 +202,7 @@ class TwDHMethod(Method):
         loss = twdh_loss_fn(
             quan_alpha=g("quan_alpha", 0.5), low_rate=g("low_rate", 0),
             noise_key=jax.random.PRNGKey(g("center_seed", 0)),
+            hash_func=g("hash_func", "softmax"),
         )
         return cls(module=module, loss=loss, cfg_model=cfg_model,
                    train_num=train_num, long_center=long_center,

@@ -45,12 +45,22 @@ from .base import BaseHashModel, Method, resolve_clip_cfg
 from .clip.model import CLIP, CLIPConfig, LayerNormFp32, MultiHeadAttention
 
 
+def _torch_fan_in(shape) -> int:
+    """torch _calculate_fan_in_and_fan_out: fan_in = shape[1] × receptive
+    field (prod of dims 2+). For the stacked 3-D SoftMoE tensors this is
+    NOT just shape[1]: expert weight (n, d_in, d_out) → d_in·d_out and
+    phi (d, n, p) → n·p (SoftMoe.py:53-60)."""
+    if len(shape) < 2:
+        return shape[0] if shape else 1
+    fan = shape[1]
+    for d in shape[2:]:
+        fan *= d
+    return fan
+
+
 def _kaiming_a5(key, shape, dtype=jnp.float32):
     """torch kaiming_uniform_(a=sqrt(5)) == uniform(±1/sqrt(fan_in))."""
-    fan_in = shape[0] if len(shape) == 2 else shape[-2] if len(shape) >= 2 else 1
-    if len(shape) == 3:  # (n, d_in, d_out) expert weights / (d, n, p) phi
-        fan_in = shape[1]
-    bound = 1.0 / math.sqrt(max(fan_in, 1))
+    bound = 1.0 / math.sqrt(max(_torch_fan_in(shape), 1))
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
@@ -72,7 +82,9 @@ class SoftMoE(nn.Module):
             "expert_kernel", _kaiming_a5,
             (self.num_experts, self.in_features, self.out_features),
         )
-        bound = 1.0 / math.sqrt(self.in_features)
+        # bias bound uses the WEIGHT's torch fan_in (= in·out for the 3-D
+        # stacked expert weight, SoftMoe.py:58-60), not in_features alone
+        bound = 1.0 / math.sqrt(self.in_features * self.out_features)
         b = self.param(
             "expert_bias",
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32,
@@ -110,8 +122,9 @@ class SoftMoEEncoderLayer(nn.Module):
             self.dropout, deterministic=not train, name=name
         )(t)
         sa, _ = MultiHeadAttention(self.d_model, self.nhead, jnp.float32,
-                                   name="self_attn")(
-            src, key_padding_mask=key_padding_mask
+                                   attn_dropout=self.dropout,
+                                   torch_init=True, name="self_attn")(
+            src, key_padding_mask=key_padding_mask, train=train
         )
         x = LayerNormFp32(name="norm1")(src + drop(sa, "drop1"))
         h = nn.Dense(self.dim_feedforward, name="linear1")(x)
@@ -140,10 +153,14 @@ class DecoderLayer(nn.Module):
             self.dropout, deterministic=not train, name=name
         )(t)
         sa, _ = MultiHeadAttention(self.d_model, self.nhead, jnp.float32,
-                                   name="self_attn")(tgt)
+                                   attn_dropout=self.dropout,
+                                   torch_init=True, name="self_attn")(
+            tgt, train=train)
         x = LayerNormFp32(name="norm1")(tgt + drop(sa, "drop1"))
         ca, _ = MultiHeadAttention(self.d_model, self.nhead, jnp.float32,
-                                   name="cross_attn")(x, kv=memory)
+                                   attn_dropout=self.dropout,
+                                   torch_init=True, name="cross_attn")(
+            x, kv=memory, train=train)
         x = LayerNormFp32(name="norm2")(x + drop(ca, "drop2"))
         h = nn.Dense(self.dim_feedforward, name="linear1")(x)
         h = jax.nn.relu(h)
@@ -418,7 +435,9 @@ class UMoEDMethod(Method):
                     clip_cfg: Optional[CLIPConfig] = None) -> "UMoEDMethod":
         clip_cfg = resolve_clip_cfg(cfg_model, clip_cfg)
         g = (lambda k, d: cfg_model.get(k, d)) if cfg_model else (lambda k, d: d)
-        hash_func = g("hash_func", "linear_subspace")
+        # reference default is softmax (UMoED.py:28); linear_subspace is
+        # what the shipped configs use but must be OPTED INTO
+        hash_func = g("hash_func", "softmax")
         if "softmax" in hash_func:
             output_dim *= 2  # reference UMoED.py:139-140
 
