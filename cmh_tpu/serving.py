@@ -15,6 +15,7 @@ in the numpy fallback.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -118,17 +119,156 @@ def _topk_scan(q_packed, g_rows, topk: int, block: int, interpret: bool,
     return dist, idx
 
 
-@functools.partial(jax.jit, static_argnames=("topk", "block", "interpret"))
+def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
+                   start, n_valid, bits: int = 0):
+    """Sort-free exact top-k over ``g_rows`` — same contract as
+    ``_topk_scan`` (global indices ``start + arange``, rows at global index
+    ≥ ``n_valid`` are padding) but selection runs by counting rank instead
+    of sorting: ``lax.top_k`` over a (Q, block) tile is a full per-row sort
+    whose HBM traffic (~log²(block) passes over the distance tile) dwarfs
+    the Pallas Hamming kernel itself. Hamming distances are small integers,
+    so the k-th best is found by histogram instead (the same counting-rank
+    idea as ``ops/map_pallas.py``):
+
+      pass 1  per-query cumulative histogram of distances (≤256 bins) →
+              threshold T = the k-th smallest distance, and how many
+              strictly-better (< T) entries exist;
+      pass 2  re-score each block and collect, in gallery-index order, the
+              entries with d < T (all of them — fewer than k by choice of
+              T) and the first ``k - strict`` ties at d == T, locating the
+              j-th survivor inside a block with cumsum + searchsorted (no
+              sort, no scatter);
+      final   one stable lexicographic ``lax.sort`` over the ≤2k collected
+              candidates restores (distance, index) order.
+
+    Ties at T collected in index order are exactly the stable "equal
+    distance → lower gallery index wins" order, so results are bit-equal
+    to ``_topk_scan`` / ``_search`` (tested). Only valid for distances
+    that fit uint8 (bits ≤ 255 — the packed-serving mainline); wider codes
+    route to the sort-based scan."""
+    qn = q_packed.shape[0]
+    rows, w = g_rows.shape
+    max_d = bits if 0 < bits <= 32 * w else 32 * w
+    assert max_d <= 255, "counting top-k requires uint8 distances"
+    nbins = max_d + 1
+    sentinel = jnp.iinfo(jnp.int32).max
+    start = jnp.asarray(start, jnp.int32)
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+
+    nblocks = -(-rows // block)
+    g = jnp.pad(g_rows, ((0, nblocks * block - rows), (0, 0)))
+    g = g.reshape(nblocks, block, w)
+    offsets = jnp.arange(nblocks, dtype=jnp.int32) * block
+
+    def score(gb, offset):
+        d = hamming_packed(q_packed, gb, interpret=interpret, bits=bits)
+        local = offset + jnp.arange(gb.shape[0], dtype=jnp.int32)
+        ok = (local < rows) & (start + local < n_valid)
+        return d.astype(jnp.uint8), ok, start + local
+
+    # pass 1: per-query counts of (valid & d <= t) for every t — fused
+    # compare+reduce reads the uint8 distance tile, never materializing
+    # the (Q, nbins, block) broadcast
+    ts = jnp.arange(nbins, dtype=jnp.uint8)
+
+    def hist_body(acc, inp):
+        d, ok, _ = score(*inp)
+        cle = jnp.sum(
+            (d[:, None, :] <= ts[None, :, None]) & ok[None, None, :],
+            axis=-1, dtype=jnp.int32)
+        return acc + cle, None
+
+    cle, _ = jax.lax.scan(
+        hist_body, jnp.zeros((qn, nbins), jnp.int32), (g, offsets))
+
+    total = cle[:, -1]
+    # T = smallest distance whose cumulative count reaches k; if the shard
+    # holds fewer than k valid rows (sharded ragged tail), collect them all
+    # as strict and pad with sentinels, matching _topk_scan's init
+    T = jnp.argmax(cle >= topk, axis=1).astype(jnp.int32)
+    T = jnp.where(total >= topk, T, nbins)
+    strict_total = jnp.where(
+        T > 0,
+        jnp.take_along_axis(
+            cle, jnp.clip(T - 1, 0, nbins - 1)[:, None], axis=1)[:, 0],
+        0)
+    tie_quota = topk - strict_total
+
+    slots = jnp.arange(topk, dtype=jnp.int32)
+    searchsorted = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="left"))
+
+    def collect_chan(cum, d, gidx, buf_d, buf_i, cnt):
+        """Place this block's survivors (cum = per-position survivor
+        cumsum) into their global-rank slots of (buf_d, buf_i)."""
+        have = cum[:, -1]
+        targ = slots[None, :] + 1 - cnt[:, None]
+        valid = (targ >= 1) & (targ <= have[:, None])
+        pos = searchsorted(cum, jnp.clip(targ, 1, None))
+        pos = jnp.clip(pos, 0, cum.shape[1] - 1)
+        cd = jnp.take_along_axis(d, pos, axis=1).astype(jnp.int32)
+        ci = jnp.take(gidx, pos)
+        return (jnp.where(valid, cd, buf_d),
+                jnp.where(valid, ci, buf_i), cnt + have)
+
+    def collect_body(carry, inp):
+        sd, si, td, ti, scnt, tcnt = carry
+        d, ok, gidx = score(*inp)
+        strict = ok[None, :] & (d < T[:, None])
+        tie = ok[None, :] & (d == T[:, None])
+        sd, si, scnt = collect_chan(
+            jnp.cumsum(strict, axis=1, dtype=jnp.int32), d, gidx,
+            sd, si, scnt)
+        td, ti, tcnt = collect_chan(
+            jnp.cumsum(tie, axis=1, dtype=jnp.int32), d, gidx,
+            td, ti, tcnt)
+        return (sd, si, td, ti, scnt, tcnt), None
+
+    full = jnp.full((qn, topk), sentinel, jnp.int32)
+    pad_i = jnp.full((qn, topk), n_valid, jnp.int32)
+    zero = jnp.zeros((qn,), jnp.int32)
+    (sd, si, td, ti, _, _), _ = jax.lax.scan(
+        collect_body, (full, pad_i, full, pad_i, zero, zero), (g, offsets))
+
+    keep_t = slots[None, :] < tie_quota[:, None]
+    td = jnp.where(keep_t, td, sentinel)
+    ti = jnp.where(keep_t, ti, n_valid)
+    all_d = jnp.concatenate([sd, td], axis=1)
+    all_i = jnp.concatenate([si, ti], axis=1)
+    out_d, out_i = jax.lax.sort((all_d, all_i), dimension=1, num_keys=2)
+    return out_d[:, :topk], out_i[:, :topk]
+
+
+# selection strategy for large-gallery device search: "counting" (default
+# for ≤255-bit codes — sort-free two-pass, see _topk_counting) or "sort"
+# (the lax.top_k scan merge). Env override for on-chip A/B.
+_SELECT = os.environ.get("CMH_TPU_SERVING_SELECT", "counting")
+
+
+def _topk_large(q_packed, g_rows, topk, block, interpret, start, n_valid,
+                bits: int = 0):
+    w = g_rows.shape[1]
+    max_d = bits if 0 < bits <= 32 * w else 32 * w
+    if _SELECT == "counting" and max_d <= 255:
+        return _topk_counting(q_packed, g_rows, topk, block, interpret,
+                              start, n_valid, bits)
+    return _topk_scan(q_packed, g_rows, topk, block, interpret,
+                      start, n_valid)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("topk", "block", "interpret", "bits"))
 def _search_blocked(q_packed, g_packed, topk: int, block: int,
-                    interpret: bool = False):
+                    interpret: bool = False, bits: int = 0):
     """Single-device exact blocked top-k, bit-equal to ``_search``."""
     n = g_packed.shape[0]
-    return _topk_scan(q_packed, g_packed, topk, block, interpret, 0, n)
+    return _topk_large(q_packed, g_packed, topk, block, interpret, 0, n,
+                       bits)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_sharded_search(mesh, topk: int, block: int, interpret: bool,
-                          local_n: int, n: int):
+                          local_n: int, n: int, bits: int = 0):
     """Compiled gallery-sharded searcher, cached per (mesh, config) so
     repeated serving calls reuse one XLA program."""
     from jax import shard_map
@@ -138,8 +278,8 @@ def _build_sharded_search(mesh, topk: int, block: int, interpret: bool,
 
     def local_fn(q, g_local):
         d = jax.lax.axis_index(axes)
-        return _topk_scan(q, g_local, topk, block, interpret,
-                          d.astype(jnp.int32) * local_n, n)
+        return _topk_large(q, g_local, topk, block, interpret,
+                           d.astype(jnp.int32) * local_n, n, bits)
 
     def run(q, g):
         dist, idx = shard_map(
@@ -168,7 +308,7 @@ def _shard_gallery(g_packed, mesh):
 
 
 def _search_sharded(q_packed, g_packed, topk: int, mesh, block: int,
-                    interpret: bool = False, prepared=None):
+                    interpret: bool = False, prepared=None, bits: int = 0):
     """Gallery-sharded multi-chip top-k: the gallery rows shard jointly
     over every mesh axis, each device runs the blocked candidate scan on
     its shard (queries replicated), and one all-gather of the
@@ -187,7 +327,8 @@ def _search_sharded(q_packed, g_packed, topk: int, mesh, block: int,
     assert 0 < topk <= local_n, (
         f"topk={topk} must fit one gallery shard ({local_n} rows)"
     )
-    run = _build_sharded_search(mesh, topk, block, interpret, local_n, n)
+    run = _build_sharded_search(mesh, topk, block, interpret, local_n, n,
+                                bits)
     return run(q_packed, g)
 
 
@@ -247,9 +388,11 @@ class RetrievalIndex:
                 self._sharded[mesh] = (g, local_n, gallery.shape[0])
             dist, idx = _search_sharded(qp, gallery, topk, mesh, block,
                                         interpret,
-                                        prepared=self._sharded[mesh])
+                                        prepared=self._sharded[mesh],
+                                        bits=self.bits)
         elif gallery.shape[0] > block:
-            dist, idx = _search_blocked(qp, gallery, topk, block, interpret)
+            dist, idx = _search_blocked(qp, gallery, topk, block, interpret,
+                                        bits=self.bits)
         else:
             dist, idx = _search(qp, gallery, topk, interpret, self.bits)
         return np.asarray(dist), np.asarray(idx)

@@ -289,3 +289,59 @@ def test_search_paths_randomized_cross_exactness():
             d3, i3 = idx.search(queries, topk=topk, block=block, mesh=mesh)
             np.testing.assert_array_equal(d0, d3)
             np.testing.assert_array_equal(i0, i3)
+
+
+def test_counting_topk_matches_sort_path():
+    """The counting-rank selection (serving._topk_counting — histogram
+    threshold + cumsum/searchsorted collection, no sort over the gallery)
+    must be bit-equal to the lax.top_k scan merge on every adversarial
+    shape: heavy ties spanning blocks (bits=8), ALL-equal distances (every
+    gallery row identical → the entire top-k comes from the tie channel),
+    topk == n (every rank exercised), and single-row blocks."""
+    import jax.numpy as jnp
+    from cmh_tpu.ops.hashing import pack_bits
+    from cmh_tpu.serving import _topk_counting, _topk_scan
+
+    bits = 8
+    cases = []
+    g = _codes(157, bits, 40)
+    cases.append((g, _codes(5, bits, 41), 157))      # topk == n, full ranks
+    cases.append((g, _codes(5, bits, 42), 9))
+    allsame = np.tile(_codes(1, bits, 43), (73, 1))  # ties only
+    cases.append((allsame, _codes(4, bits, 44), 10))
+    for gallery, queries, topk in cases:
+        qp = pack_bits(jnp.asarray(queries))
+        gp = pack_bits(jnp.asarray(gallery))
+        n = gallery.shape[0]
+        for block in (1, 13, 64, 4096):
+            want = _topk_scan(qp, gp, topk, block, True, 0, n)
+            got = _topk_counting(qp, gp, topk, block, True, 0, n, bits)
+            np.testing.assert_array_equal(np.asarray(got[0]),
+                                          np.asarray(want[0]))
+            np.testing.assert_array_equal(np.asarray(got[1]),
+                                          np.asarray(want[1]))
+
+
+def test_counting_topk_short_shard_pads_like_scan():
+    """A shard holding fewer valid rows than topk (the sharded ragged
+    tail) must yield the valid candidates first and sentinel distances in
+    the padding slots, so the cross-shard merge stays exact."""
+    import jax.numpy as jnp
+    from cmh_tpu.ops.hashing import pack_bits
+    from cmh_tpu.serving import _topk_counting
+
+    bits = 8
+    gallery, queries = _codes(20, bits, 50), _codes(3, bits, 51)
+    qp = pack_bits(jnp.asarray(queries))
+    gp = pack_bits(jnp.asarray(gallery))
+    # global n_valid=12 with start=0: rows 12..19 are padding; topk=15 > 12
+    d, i = _topk_counting(qp, gp, 15, 7, True, 0, 12, bits)
+    d, i = np.asarray(d), np.asarray(i)
+    sentinel = np.iinfo(np.int32).max
+    assert (d[:, 12:] == sentinel).all() and (i[:, 12:] == 12).all()
+    # the 12 valid candidates = exact stable order over rows [0, 12)
+    brute = (0.5 * (bits - queries @ gallery[:12].T)).astype(np.int64)
+    for qi in range(3):
+        order = np.argsort(brute[qi], kind="stable")
+        np.testing.assert_array_equal(i[qi, :12], order)
+        np.testing.assert_array_equal(d[qi, :12], brute[qi][order])
