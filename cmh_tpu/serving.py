@@ -195,8 +195,13 @@ def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
     tie_quota = topk - strict_total
 
     slots = jnp.arange(topk, dtype=jnp.int32)
+    # scan_unrolled: the default 'scan' method runs the ~20-step binary
+    # search as a lax.scan, and on the tunnel backend every scan iteration
+    # costs ~0.9ms flat (CLAUDE.md "Chip compute reality") — unrolling
+    # keeps it at 20 tiny gathers inside one fused program
     searchsorted = jax.vmap(
-        lambda a, v: jnp.searchsorted(a, v, side="left"))
+        lambda a, v: jnp.searchsorted(
+            a, v, side="left", method="scan_unrolled"))
 
     def collect_chan(cum, d, gidx, buf_d, buf_i, cnt):
         """Place this block's survivors (cum = per-position survivor
