@@ -234,26 +234,27 @@ tr.state, (losses, _) = tr._train_scan(tr.state, stacked)
 # host fetch of a value depending on every step forces completion
 float(jnp.sum(losses))
 dt = (time.perf_counter() - t0) / n
-# eval code generation (device-side scatter accumulation, ONE fetch per
-# eval — round 1 blocked on np.asarray per loader batch through the relay).
-# Replay pre-materialized host batches: the synthetic dataset renders
-# images procedurally on the 1-core host, which would otherwise dominate
-# the measurement
-class Replay:
-    def __init__(self, batches): self.batches = batches
-    def __iter__(self): return iter(self.batches)
-# pre-uploaded device batches: otherwise the measurement is dominated by
-# the relay's host->device upload (154MB/batch at tunnel bandwidth), which
-# overlaps with compute in the real pipelined eval loop
-q_batches = Replay([
-    {k: (jnp.asarray(v) if k != "valid" and k != "index" else v)
-     for k, v in b.items()}
-    for b in iter(tr.query_loader)
-])
-qi, qt = tr.get_code(q_batches, tr.query_num)                # compile
+# eval code generation: all 4 query batches chained in ONE device dispatch
+# via the trainer's scan-chunked encode program (cfg.run.scan_steps in the
+# product loop) — a python loop of per-batch generate_hash calls pays the
+# ~40ms relay dispatch each (trap #3). Batches are pre-uploaded: the
+# synthetic dataset renders images procedurally on the 1-core host and the
+# relay upload (154MB/batch) would otherwise dominate; the real pipelined
+# eval loop overlaps both with compute.
+q_stacked = {
+    k: jnp.stack([jnp.asarray(b[k]) for b in blist])
+    for blist in [list(iter(tr.query_loader))] for k in blist[0]
+}
+def fresh_buffers():
+    k = tr.method.eval_code_dims()
+    return (jnp.zeros((tr.query_num, k), jnp.float32),
+            jnp.zeros((tr.query_num, k), jnp.float32))
+qi, qt = tr._encode_scan(tr.state.params, tr.state.model_state,
+                         fresh_buffers(), q_stacked)         # compile
 float(jnp.sum(qi))
 t1 = time.perf_counter()
-qi, qt = tr.get_code(q_batches, tr.query_num)
+qi, qt = tr._encode_scan(tr.state.params, tr.state.model_state,
+                         fresh_buffers(), q_stacked)
 float(jnp.sum(qi) + jnp.sum(qt))
 code_dt = time.perf_counter() - t1
 print(json.dumps({"train_pairs_per_sec": batch / dt,
