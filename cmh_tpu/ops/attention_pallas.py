@@ -75,7 +75,8 @@ def _fwd_kernel(scale, has_mask, has_kpm, *refs):
     k = k_ref[...].reshape(nb * h, s, hd)
     v = v_ref[...].reshape(nb * h, s, hd)
     mask = mask_ref[...].astype(jnp.float32) if mask_ref is not None else None
-    kpm = kpm_ref[...].astype(jnp.float32) if kpm_ref is not None else None
+    kpm = (kpm_ref[...].astype(jnp.float32).reshape(nb, s)
+           if kpm_ref is not None else None)
     _, out = _attend(q, k, v, scale, mask, kpm, h)
     o_ref[...] = out.reshape(nb, h, s, hd).astype(o_ref.dtype)
 
@@ -100,7 +101,8 @@ def _bwd_kernel(scale, has_mask, has_kpm, *refs):
     v = v_ref[...].reshape(nb * h, s, hd)
     do = do_ref[...].reshape(nb * h, s, hd).astype(jnp.float32)
     mask = mask_ref[...].astype(jnp.float32) if mask_ref is not None else None
-    kpm = kpm_ref[...].astype(jnp.float32) if kpm_ref is not None else None
+    kpm = (kpm_ref[...].astype(jnp.float32).reshape(nb, s)
+           if kpm_ref is not None else None)
     w, _ = _attend(q, k, v, scale, mask, kpm, h)
 
     # dV = wᵀ @ dO (contract queries); dW = dO @ vᵀ; softmax VJP; chain q/k
@@ -138,7 +140,11 @@ def _specs(nb, h, s, hd, has_mask, has_kpm):
     if has_mask:
         specs.append(pl.BlockSpec((s, s), lambda i: (0, 0)))
     if has_kpm:
-        specs.append(pl.BlockSpec((nb, s), lambda i: (i, 0)))
+        # the kpm rides as (B, 1, S) so the block's last two dims (1, S)
+        # equal the array dims — Mosaic requires the last two block dims
+        # be (8, 128)-divisible or full; a 2-D (nb, S) block breaks the
+        # moment nb < 8 (the backward's VMEM cap, or any batch % 8 != 0)
+        specs.append(pl.BlockSpec((nb, 1, s), lambda i: (i, 0, 0)))
     return per_blk, specs
 
 
@@ -153,7 +159,8 @@ def _attention_fwd(q, k, v, scale, mask, kpm):
     nb = _pick_nb(b)
     has_mask, has_kpm = mask is not None, kpm is not None
     per_blk, in_specs = _specs(nb, h, s, hd, has_mask, has_kpm)
-    args = [q, k, v] + ([mask] if has_mask else []) + ([kpm] if has_kpm else [])
+    args = [q, k, v] + ([mask] if has_mask else []) + (
+        [kpm.reshape(b, 1, s)] if has_kpm else [])
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale, has_mask, has_kpm),
         grid=(b // nb,),
@@ -174,7 +181,8 @@ def _attention_bwd(scale, res, do):
     nb = _pick_nb(b, cap=4)
     has_mask, has_kpm = mask is not None, kpm is not None
     per_blk, in_specs = _specs(nb, h, s, hd, has_mask, has_kpm)
-    args = [q, k, v] + ([mask] if has_mask else []) + ([kpm] if has_kpm else [])
+    args = [q, k, v] + ([mask] if has_mask else []) + (
+        [kpm.reshape(b, 1, s)] if has_kpm else [])
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale, has_mask, has_kpm),
         grid=(b // nb,),
