@@ -57,34 +57,47 @@ def _lane_layout(bits: int, tq: int):
 
 
 def _consts(tq: int, tn: int, vp: int, wide: bool = False):
-    """Host-built kernel constants (hoisted out of the grid loop).
-
-    ``wide`` switches the replication operands to f32: bucket distances ride
-    the erep matmul as exact integers, which bf16 only guarantees up to 256
-    — codes over 255 bits need the f32 MXU path (exact for these counts).
-    """
+    """Host-built kernel constants (hoisted out of the grid loop)."""
     lanes = tq * vp
     q_of_lane = np.arange(lanes) // vp
     v_of_lane = np.arange(lanes) % vp
     erep = (q_of_lane[None, :] == np.arange(tq)[:, None])          # (TQ, L)
     vrow = v_of_lane[None, :].astype(np.float32)                   # (1, L)
     tril = (np.arange(tn)[None, :] <= np.arange(tn)[:, None])      # (TN, TN)
-    rep_t = jnp.float32 if wide else jnp.bfloat16
+    del wide  # replication is bf16-exact on every path (see _replicate)
     return (
-        jnp.asarray(erep, rep_t),
+        jnp.asarray(erep, jnp.bfloat16),
         jnp.asarray(vrow, jnp.float32),
         jnp.asarray(tril, jnp.bfloat16),
     )
 
 
-def _split_packed(d2, wide: bool = False):
-    """(TN, TQ) uint8/uint16 ``2·d + g`` → distance, relevance (bf16, or
-    f32 on the wide path where distances exceed bf16's exact-int range)."""
+def _replicate(d2, erep, wide: bool = False):
+    """(TN, TQ) uint8/uint16 ``2·d + g`` → per-lane (distance, relevance)
+    via the 0/1 erep matmul, exactly.
+
+    bf16 carries integers exactly only up to 256; distances on the wide
+    path (257–1022 bits) therefore ride the MXU as two bf16-exact halves
+    ``d = 256·hi + lo`` recombined in f32 — a plain f32 dot is NOT exact
+    here: the TPU MXU runs f32 operands as a rounding bf16 pass under
+    default precision (caught on-chip by battery stage 4; interpret mode
+    computes true f32 and cannot see it), and Precision.HIGHEST would cost
+    3× the passes of the two-dot split."""
     x = d2.astype(jnp.int32)
-    rep_t = jnp.float32 if wide else jnp.bfloat16
-    d = jax.lax.shift_right_logical(x, 1).astype(rep_t)
-    g = jnp.bitwise_and(x, 1).astype(rep_t)
-    return d, g
+    d = jax.lax.shift_right_logical(x, 1)
+    g = jnp.bitwise_and(x, 1).astype(jnp.bfloat16)
+    grep = jnp.dot(g, erep, preferred_element_type=jnp.float32)
+    if not wide:
+        drep = jnp.dot(d.astype(jnp.bfloat16), erep,
+                       preferred_element_type=jnp.float32)
+        return drep, grep
+    hi = jax.lax.shift_right_logical(d, 8).astype(jnp.bfloat16)
+    lo = jnp.bitwise_and(d, 255).astype(jnp.bfloat16)
+    drep = (
+        jnp.dot(hi, erep, preferred_element_type=jnp.float32) * 256.0
+        + jnp.dot(lo, erep, preferred_element_type=jnp.float32)
+    )
+    return drep, grep
 
 
 def _hist_kernel(d2_ref, erep_ref, vrow_ref, hist_ref, rhist_ref,
@@ -96,10 +109,7 @@ def _hist_kernel(d2_ref, erep_ref, vrow_ref, hist_ref, rhist_ref,
         hist_ref[...] = jnp.zeros_like(hist_ref)
         rhist_ref[...] = jnp.zeros_like(rhist_ref)
 
-    d, g = _split_packed(d2_ref[0], wide)
-    erep = erep_ref[:]
-    drep = jnp.dot(d, erep, preferred_element_type=jnp.float32)
-    grep = jnp.dot(g, erep, preferred_element_type=jnp.float32)
+    drep, grep = _replicate(d2_ref[0], erep_ref[:], wide)
     a2 = (drep == vrow_ref[:]).astype(jnp.bfloat16)
     a2r = a2 * grep.astype(jnp.bfloat16)
     ones = jnp.ones((1, tn), jnp.bfloat16)
@@ -120,10 +130,7 @@ def _ap_kernel(d2_ref, less_ref, lessr_ref, total_ref, erep_ref,
         eq_ref[:] = jnp.zeros_like(eq_ref)
         eqr_ref[:] = jnp.zeros_like(eqr_ref)
 
-    d, g = _split_packed(d2_ref[0], wide)
-    erep = erep_ref[:]
-    drep = jnp.dot(d, erep, preferred_element_type=jnp.float32)
-    grep = jnp.dot(g, erep, preferred_element_type=jnp.float32)
+    drep, grep = _replicate(d2_ref[0], erep_ref[:], wide)
     a2 = (drep == vrow_ref[:]).astype(jnp.bfloat16)       # (TN, TQ·VP)
     a2r = a2 * grep.astype(jnp.bfloat16)
 
@@ -296,10 +303,10 @@ def calc_map_k_4dir_pallas(
     rl = jnp.asarray(retrieval_labels, jnp.float32)
     bits = int(q_img.shape[1])
     # ≤255 bits: bucket distances ride the erep matmul in bf16 (exact ints
-    # up to 256). Wider codes switch the replication operands to f32
-    # (_consts/_split_packed wide path); the VP=bits+2 lane groups grow
-    # linearly, so callers must shrink tq/tn to keep tiles inside VMEM —
-    # 1022 bits at tq=8/tn=64 is the tuned ceiling (~6MB of live tile).
+    # up to 256). Wider codes split distances into two bf16-exact halves
+    # (_replicate wide path); the VP=bits+2 lane groups grow linearly, so
+    # callers must shrink tq/tn to keep tiles inside VMEM — 1022 bits at
+    # tq=8/tn=64 is the tuned ceiling (~6MB of live tile).
     assert bits + 1 <= 1023, (
         "counting-rank Pallas kernel supports codes up to 1022 bits; "
         "longer codes take the chunked-argsort route"
