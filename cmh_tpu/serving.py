@@ -59,6 +59,11 @@ def _search(q_packed, g_packed, topk: int, interpret: bool = False,
 # matrix would be 25.6 GB for 64 queries, over a v5e chip's HBM
 _DEVICE_BLOCK = 1 << 20
 
+# element chunk for hierarchical survivor location in the counting top-k:
+# per-chunk survivor counts find each rank's chunk, then only hit chunks
+# are scanned at element resolution (gather cost O(topk·chunk) per block)
+_COLLECT_CHUNK = 1 << 10
+
 
 def _topk_scan(q_packed, g_rows, topk: int, block: int, interpret: bool,
                start, n_valid):
@@ -135,9 +140,14 @@ def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
               strictly-better (< T) entries exist;
       pass 2  re-score each block and collect, in gallery-index order, the
               entries with d < T (all of them — fewer than k by choice of
-              T) and the first ``k - strict`` ties at d == T, locating the
-              j-th survivor inside a block with cumsum + searchsorted (no
-              sort, no scatter);
+              T) and the first ``k - strict`` ties at d == T. Survivors are
+              located hierarchically: per-chunk survivor counts (one cheap
+              reduce over ``_COLLECT_CHUNK``-element chunks) + a tiny
+              cumsum over chunk totals find each target rank's chunk, and
+              only the ≤topk hit chunks are gathered and scanned at element
+              resolution. A full-block cumsum would cost ~log2(block)
+              passes of (Q, block) int32 HBM traffic per block — measured
+              to dominate the whole search at the 10M-item bench shape;
       final   one stable lexicographic ``lax.sort`` over the ≤2k collected
               candidates restores (distance, index) order.
 
@@ -203,30 +213,57 @@ def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
         lambda a, v: jnp.searchsorted(
             a, v, side="left", method="scan_unrolled"))
 
-    def collect_chan(cum, d, gidx, buf_d, buf_i, cnt):
-        """Place this block's survivors (cum = per-position survivor
-        cumsum) into their global-rank slots of (buf_d, buf_i)."""
-        have = cum[:, -1]
-        targ = slots[None, :] + 1 - cnt[:, None]
+    # hierarchical survivor location: a full-block cumsum costs
+    # ~log2(block) HBM passes over a (Q, block) int32 array per block and
+    # measured-dominates the whole search; per-chunk counts + a tiny
+    # chunk-level cumsum + gathering only the ≤topk hit chunks replace it
+    # with one cheap reduce and O(topk·chunk) element work
+    chunk = min(_COLLECT_CHUNK, block)
+    nch = -(-block // chunk)
+    pad_to = nch * chunk
+    carange = jnp.arange(chunk, dtype=jnp.int32)
+
+    def collect_chan(mask, d, base_gidx, buf_d, buf_i, cnt):
+        """Place this block's survivors (``mask``, in gallery-index order)
+        into their global-rank slots of (buf_d, buf_i). ``base_gidx`` is
+        the block's first global gallery index (may be traced)."""
+        m, dd = mask, d
+        if pad_to != mask.shape[1]:
+            m = jnp.pad(m, ((0, 0), (0, pad_to - mask.shape[1])))
+            dd = jnp.pad(dd, ((0, 0), (0, pad_to - mask.shape[1])))
+        chunk_cnt = m.reshape(qn, nch, chunk).sum(axis=-1, dtype=jnp.int32)
+        chunk_cum = jnp.cumsum(chunk_cnt, axis=1)  # (Q, nch) — tiny
+        have = chunk_cum[:, -1]
+        targ = slots[None, :] + 1 - cnt[:, None]   # 1-based channel rank
         valid = (targ >= 1) & (targ <= have[:, None])
-        pos = searchsorted(cum, jnp.clip(targ, 1, None))
-        pos = jnp.clip(pos, 0, cum.shape[1] - 1)
-        cd = jnp.take_along_axis(d, pos, axis=1).astype(jnp.int32)
-        ci = jnp.take(gidx, pos)
+        tq = jnp.clip(targ, 1, None)
+        cid = jnp.clip(searchsorted(chunk_cum, tq), 0, nch - 1)
+        prev = jnp.where(
+            cid > 0,
+            jnp.take_along_axis(chunk_cum, jnp.clip(cid - 1, 0, None),
+                                axis=1),
+            0)
+        r = tq - prev                              # rank within the chunk
+        flat = (cid * chunk)[:, :, None] + carange[None, None, :]
+        fm = jnp.take_along_axis(
+            m, flat.reshape(qn, -1), axis=1).reshape(qn, topk, chunk)
+        icum = jnp.cumsum(fm, axis=-1, dtype=jnp.int32)
+        pos = jnp.argmax(icum >= r[:, :, None], axis=-1).astype(jnp.int32)
+        fpos = cid * chunk + pos
+        cd = jnp.take_along_axis(dd, fpos, axis=1).astype(jnp.int32)
+        ci = base_gidx + fpos
         return (jnp.where(valid, cd, buf_d),
                 jnp.where(valid, ci, buf_i), cnt + have)
 
     def collect_body(carry, inp):
         sd, si, td, ti, scnt, tcnt = carry
-        d, ok, gidx = score(*inp)
+        gb, offset = inp
+        d, ok, _ = score(gb, offset)
+        base = start + offset
         strict = ok[None, :] & (d < T[:, None])
         tie = ok[None, :] & (d == T[:, None])
-        sd, si, scnt = collect_chan(
-            jnp.cumsum(strict, axis=1, dtype=jnp.int32), d, gidx,
-            sd, si, scnt)
-        td, ti, tcnt = collect_chan(
-            jnp.cumsum(tie, axis=1, dtype=jnp.int32), d, gidx,
-            td, ti, tcnt)
+        sd, si, scnt = collect_chan(strict, d, base, sd, si, scnt)
+        td, ti, tcnt = collect_chan(tie, d, base, td, ti, tcnt)
         return (sd, si, td, ti, scnt, tcnt), None
 
     full = jnp.full((qn, topk), sentinel, jnp.int32)
