@@ -301,15 +301,23 @@ def bench_map_eval_subprocess(timeout_s=1500):
     return None, None
 
 
-def bench_serving_device(n=10_000_000, q=64, bits=64, topk=100, runs=3):
+def bench_serving_device(n=10_000_000, q=64, bits=64, topk=100, runs=5):
     """Device-side blocked serving search (serving._search_blocked): exact
     top-k over a 10M-item packed gallery (80 MB in HBM at 64 bits) without
     ever materializing the (Q, N) distance matrix. One jitted program =
     one dispatch + one fetch per run (CLAUDE.md trap #3); queries vary per
-    run (trap #2). Returns comparisons/sec/chip."""
+    run (trap #2).
+
+    Returns a dict with the median rate plus forensics (select path, raw
+    per-run times, best rate): BENCH_r04 recorded 2.66e8 cmp/s where the
+    same-code battery capture recorded 2.42e9 — an unexplained 9× spread
+    on a shared tunnel must never again be a bare number with no
+    provenance. Per-run times also go to stderr so a timed-out stage still
+    leaves evidence in the driver tail."""
     import jax.numpy as jnp
     import numpy as np
 
+    from cmh_tpu import serving
     from cmh_tpu.serving import _DEVICE_BLOCK, _search_blocked
 
     rng = np.random.RandomState(0)
@@ -323,15 +331,24 @@ def bench_serving_device(n=10_000_000, q=64, bits=64, topk=100, runs=3):
             r.randint(0, 2**32, size=(q, words), dtype=np.uint32)))
 
     queries = [qs(s) for s in range(runs + 1)]
-    d, i = _search_blocked(queries[-1], gallery, topk, _DEVICE_BLOCK)
-    float(d.sum() + i.sum())  # compile + warm
+    for _ in range(2):  # compile, then one warm pass (deferred transfers)
+        d, i = _search_blocked(queries[-1], gallery, topk, _DEVICE_BLOCK)
+        float(d.sum() + i.sum())
     times = []
-    for qp in queries[:runs]:
+    for k, qp in enumerate(queries[:runs]):
         t0 = time.perf_counter()
         d, i = _search_blocked(qp, gallery, topk, _DEVICE_BLOCK)
         float(d.sum() + i.sum())  # data-dependent host fetch = sync
         times.append(time.perf_counter() - t0)
-    return q * n / sorted(times)[len(times) // 2]
+        print(f"[bench] serving run {k}: {times[-1]:.4f}s", file=sys.stderr,
+              flush=True)
+    med = sorted(times)[len(times) // 2]
+    return {
+        "cmp_per_sec": q * n / med,
+        "best_cmp_per_sec": q * n / min(times),
+        "times_s": [round(t, 4) for t in times],
+        "select": serving._SELECT,
+    }
 
 
 def bench_serving_cpu(n=500_000, q=64, bits=64, topk=100, runs=3):
@@ -504,6 +521,17 @@ def main():
     stage("device serving 10M (subprocess)")
     serving_dev = _child_call("bench.bench_serving_device()", 1200, None)
     stage(f"device serving: {serving_dev}")
+    if isinstance(serving_dev, dict):
+        serving_forensics = {
+            "serving_select_path": serving_dev.get("select"),
+            "serving_run_times_s": serving_dev.get("times_s"),
+            "serving_device_topk_best_cmp_per_sec_per_chip_10m": (
+                round(serving_dev["best_cmp_per_sec"], 1)
+                if serving_dev.get("best_cmp_per_sec") else None),
+        }
+        serving_dev = serving_dev.get("cmp_per_sec")
+    else:
+        serving_forensics = {}
 
     result = {
         "metric": "hamming_comparisons_per_sec_per_chip",
@@ -529,6 +557,7 @@ def main():
             "serving_device_topk_cmp_per_sec_per_chip_10m": (
                 round(serving_dev, 1) if serving_dev is not None else None
             ),
+            **serving_forensics,
             "device": device_str,
             **_serving_cpu_extra(),
             **_artifact_extras(),

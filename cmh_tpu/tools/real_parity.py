@@ -33,6 +33,11 @@ Stages:
 
 Runs on whatever backend JAX selects; CMH_TPU_PLATFORM=cpu forces the host
 (see main.py). The reference side is torch-CPU in this image.
+
+Asset acquisition: ``python -m cmh_tpu.tools.fetch_assets`` downloads the
+pretrained CLIP checkpoint with SHA256 verification and stages the ``.mat``
+archives into the ``<data-root>/<dataset>/`` layout this tool expects —
+see its docstring for the one-command sequence.
 """
 
 from __future__ import annotations

@@ -309,17 +309,30 @@ def test_counting_topk_matches_sort_path():
     cases.append((g, _codes(5, bits, 42), 9))
     allsame = np.tile(_codes(1, bits, 43), (73, 1))  # ties only
     cases.append((allsame, _codes(4, bits, 44), 10))
-    for gallery, queries, topk in cases:
-        qp = pack_bits(jnp.asarray(queries))
-        gp = pack_bits(jnp.asarray(gallery))
-        n = gallery.shape[0]
-        for block in (1, 13, 64, 4096):
-            want = _topk_scan(qp, gp, topk, block, True, 0, n)
-            got = _topk_counting(qp, gp, topk, block, True, 0, n, bits)
-            np.testing.assert_array_equal(np.asarray(got[0]),
-                                          np.asarray(want[0]))
-            np.testing.assert_array_equal(np.asarray(got[1]),
-                                          np.asarray(want[1]))
+    from cmh_tpu import serving as serving_mod
+
+    orig_chunk = serving_mod._COLLECT_CHUNK
+    try:
+        # second pass with a tiny collect chunk so survivors span multiple
+        # chunks and the cross-chunk branch (cid>0: searchsorted into a
+        # later chunk + prev-subtraction rank recovery) is exercised — at
+        # the default 1024 every ≤157-row test gallery lands in chunk 0
+        for collect_chunk in (orig_chunk, 4):
+            serving_mod._COLLECT_CHUNK = collect_chunk
+            for gallery, queries, topk in cases:
+                qp = pack_bits(jnp.asarray(queries))
+                gp = pack_bits(jnp.asarray(gallery))
+                n = gallery.shape[0]
+                for block in (1, 13, 64, 4096):
+                    want = _topk_scan(qp, gp, topk, block, True, 0, n)
+                    got = _topk_counting(qp, gp, topk, block, True, 0, n,
+                                         bits)
+                    np.testing.assert_array_equal(np.asarray(got[0]),
+                                                  np.asarray(want[0]))
+                    np.testing.assert_array_equal(np.asarray(got[1]),
+                                                  np.asarray(want[1]))
+    finally:
+        serving_mod._COLLECT_CHUNK = orig_chunk
 
 
 def test_counting_topk_short_shard_pads_like_scan():
