@@ -175,11 +175,15 @@ def _pallas_tiles(bits: int):
     tuned at 64 bits; >126-bit codes pack uint16, so halve the query chunk
     to keep the packed HBM matrix bounded. >255-bit codes use the kernel's
     f32 wide path with small tiles (TwDH long codes — previously the
-    chunked-argsort route)."""
+    chunked-argsort route); past 1022 bits tq halves again per octave so
+    the ~8K-lane tile footprint holds through TwDH's shipped 1024/2048-bit
+    long centers."""
     if bits <= 255:
         tq = 128 if bits <= 64 else (64 if bits <= 126 else 32)
         return tq, 128, 1024 if bits <= 126 else 512
-    return 8, 64, 256
+    if bits <= 1022:
+        return 8, 64, 256
+    return (4, 64, 128) if bits <= 2046 else (2, 64, 128)
 
 
 def calc_map_k_4dir_sharded(
@@ -264,11 +268,13 @@ def calc_map_k_4dir_auto(
     elsewhere); single-chip TPU, the fused Pallas counting-rank kernel
     (map_pallas.py — 3.3s vs 10.2s for the XLA path at coco scale); the
     XLA bucketed path elsewhere or for long codes."""
+    from .map_pallas import MAX_PALLAS_BITS
+
     bits = int(jnp.asarray(q_img).shape[1])
     # the axon relay registers its platform as "axon", not "tpu"
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if mesh is not None and mesh.size > 1:
-        if on_tpu and bits + 1 <= 1023:
+        if on_tpu and bits <= MAX_PALLAS_BITS:
             from .map_pallas import calc_map_k_4dir_pallas_sharded
 
             tq, tn, chunk = _pallas_tiles(bits)
@@ -282,7 +288,7 @@ def calc_map_k_4dir_auto(
                 k, mesh=mesh,
             )
         # wide codes on a non-TPU mesh: single-device argsort route below
-    if on_tpu and bits + 1 <= 1023:
+    if on_tpu and bits <= MAX_PALLAS_BITS:
         from .map_pallas import calc_map_k_4dir_pallas
 
         tq, tn, chunk = _pallas_tiles(bits)

@@ -48,6 +48,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .hamming_pallas import _round_up
 from .metrics import calc_label_sim
 
+# widest supported code: the wide path's hi/lo split is exact to 65535, but
+# the VP = bits+2 indicator lanes per query are the practical bound — at
+# 4094 bits the tq=2 tiles still keep the ~8K-lane footprint tuned at 1022
+# bits. Every real method config (TwDH long centers ship up to 2048 bits)
+# sits far inside this.
+MAX_PALLAS_BITS = 4094
+
 
 def _lane_layout(bits: int, tq: int):
     """VP (buckets incl. pad-sentinel, padded so TQ·VP is lane-aligned)."""
@@ -304,12 +311,15 @@ def calc_map_k_4dir_pallas(
     bits = int(q_img.shape[1])
     # ≤255 bits: bucket distances ride the erep matmul in bf16 (exact ints
     # up to 256). Wider codes split distances into two bf16-exact halves
-    # (_replicate wide path); the VP=bits+2 lane groups grow linearly, so
-    # callers must shrink tq/tn to keep tiles inside VMEM — 1022 bits at
-    # tq=8/tn=64 is the tuned ceiling (~6MB of live tile).
-    assert bits + 1 <= 1023, (
-        "counting-rank Pallas kernel supports codes up to 1022 bits; "
-        "longer codes take the chunked-argsort route"
+    # (_replicate wide path: d = 256·hi + lo, exact while hi ≤ 255 ⇔
+    # d ≤ 65535); the VP=bits+2 lane groups grow linearly, so callers must
+    # shrink tq to keep the lane footprint ≈8192 and tiles inside VMEM
+    # (map_bucketed._pallas_tiles: tq=8 to 1022 bits, tq=4 to 2046, tq=2 to
+    # 4094 — covering TwDH's shipped 1024/2048-bit long centers,
+    # /root/reference/data/transformer/TwDH/coco/long/{1024,2048}.pkl).
+    assert bits + 1 <= MAX_PALLAS_BITS + 1, (
+        f"counting-rank Pallas kernel supports codes up to {MAX_PALLAS_BITS} "
+        "bits; longer codes take the chunked-argsort route"
     )
 
     num_query = q_img.shape[0]

@@ -35,14 +35,21 @@ def make_dataset(root: str, n_items: int, n_classes: int, res: int) -> str:
     for i in range(n_items):
         pos = rng.choice(n_classes, size=rng.randint(1, 3), replace=False)
         labels[i, pos] = 1.0
-    imgs = rng.randint(40, 90, size=(n_items, res, res, 3)).astype(np.float64)
+    # build in chunks: a single float array at the true 10k-item protocol
+    # (224px) would be 12.6 GB — the uint8 result is 1.6 GB and fine
+    imgs = np.empty((n_items, res, res, 3), dtype=np.uint8)
     h = res // 2
     quads = [(slice(0, h), slice(0, h)), (slice(0, h), slice(h, None)),
              (slice(h, None), slice(0, h)), (slice(h, None), slice(h, None))]
-    for c, (sy, sx) in enumerate(quads):
-        imgs[labels[:, c % n_classes] > 0, sy, sx, c % 3] += 120.0
-    np.save(os.path.join(ds, "images.npy"),
-            np.clip(imgs, 0, 255).astype(np.uint8))
+    chunk = 512
+    for start in range(0, n_items, chunk):
+        stop = min(start + chunk, n_items)
+        blk = rng.randint(40, 90,
+                          size=(stop - start, res, res, 3)).astype(np.float32)
+        for c, (sy, sx) in enumerate(quads):
+            blk[labels[start:stop, c % n_classes] > 0, sy, sx, c % 3] += 120.0
+        imgs[start:stop] = np.clip(blk, 0, 255).astype(np.uint8)
+    np.save(os.path.join(ds, "images.npy"), imgs)
     caps = [f"a synthetic photo of class {int(np.argmax(labels[i]))}"
             for i in range(n_items)]
     scio.savemat(os.path.join(ds, "caption.mat"),

@@ -30,3 +30,13 @@ jax.config.update("jax_enable_x64", False)
 _cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_configure(config):
+    # two test tiers (VERDICT r4 item 8): the multi-minute E2E/parity tests
+    # carry @pytest.mark.slow; `pytest -m "not slow"` is the inner loop,
+    # the full suite stays the round gate
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute E2E/parity test — deselect with -m 'not slow'",
+    )

@@ -26,6 +26,7 @@ def run_tool(*args, timeout=420):
     )
 
 
+@pytest.mark.slow
 def test_tiny_ours_only_json_contract():
     proc = run_tool("--scale", "tiny", "--epochs", "1", "--skip-reference",
                     "--train-num", "32", "--query-num", "16", "--batch", "16")

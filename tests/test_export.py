@@ -1,5 +1,6 @@
 """StableHLO encoder export: parity with the live model, no model code on load."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -92,6 +93,7 @@ def _live_codes(method, variables, image, text, kpm, **extra):
     return want_i, want_t
 
 
+@pytest.mark.slow
 def test_export_symbolic_batch_two_sizes(tmp_path):
     """Default export has a symbolic batch dim: one artifact serves B=3 and
     B=5 (pair-argmax method) with bit-exact parity (VERDICT r2 #6)."""
@@ -118,6 +120,7 @@ def test_export_symbolic_batch_two_sizes(tmp_path):
         np.testing.assert_array_equal(got_t, np.asarray(want_t))
 
 
+@pytest.mark.slow
 def test_export_dsph_sign_codes(tmp_path):
     """Sign-mode method (DSPH) round-trips through a symbolic-batch export."""
     from cmh_tpu.models.dsph import DSPHMethod
@@ -198,6 +201,7 @@ def test_export_twdh_pytree_codes(tmp_path):
             np.testing.assert_array_equal(got_leaf, np.asarray(want_leaf))
 
 
+@pytest.mark.slow
 def test_export_cli_end_to_end(tmp_path):
     """python -m cmh_tpu.export drives the full CLI surface: config →
     method → weights msgpack → serialized artifact, loadable without model

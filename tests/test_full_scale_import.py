@@ -41,6 +41,7 @@ def full_torch_clip(tmp_path_factory):
     return tm
 
 
+@pytest.mark.slow
 def test_full_scale_shape_inference_and_mapping(full_torch_clip):
     from cmh_tpu.models.clip.loader import infer_config, params_from_state_dict
     from cmh_tpu.models.clip.model import CLIP

@@ -8,6 +8,7 @@ CPU would be minutes); the dryrun is covered by the heavier parallel tests.
 """
 
 import sys
+import pytest
 import os
 
 import jax
@@ -15,6 +16,7 @@ import jax
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.slow
 def test_entry_traces_and_lowers():
     import __graft_entry__ as g
 

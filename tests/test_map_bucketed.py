@@ -1,6 +1,7 @@
 """Counting-rank mAP must be bit-identical to the argsort path and the
 torch/numpy oracles."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -206,6 +207,7 @@ def test_4dir_auto_wide_cpu_fallback():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_map_4dir_randomized_vs_oracle():
     """Seeded randomized sweep over (bits, shapes, k): the auto 4-direction
     route and the Pallas counting-rank kernel (interpret, tiny tiles so
@@ -237,3 +239,70 @@ def test_map_4dir_randomized_vs_oracle():
         got_p = calc_map_k_4dir_pallas(qi, qt, ri, rt, ql, rl, k,
                                        chunk=8, tq=4, tn=16, interpret=True)
         np.testing.assert_allclose(got_p, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("bits", [1024, 2048])
+def test_pallas_4dir_twdh_long_center_widths(bits):
+    """TwDH ships 1024- and 2048-bit long centers
+    (/root/reference/data/transformer/TwDH/coco/long/{1024,2048}.pkl,
+    models/TwDH/TwDH.py:89-97) — these widths must take the counting-rank
+    kernel's wide path exactly (VERDICT r4 item 3: they previously fell to
+    chunked argsort above the old 1022-bit ceiling). Interpret mode with
+    the production tiles from _pallas_tiles."""
+    from cmh_tpu.ops.map_bucketed import _pallas_tiles
+    from cmh_tpu.ops.map_pallas import calc_map_k_4dir_pallas
+    from cmh_tpu.ops.metrics import calc_map_k_numpy
+
+    rng = np.random.RandomState(bits)
+    nq, nr, classes = 5, 61, 3
+    qi = rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+    qt = rng.choice([-1.0, 1.0], size=(nq, bits)).astype(np.float32)
+    ri = rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+    rt = rng.choice([-1.0, 1.0], size=(nr, bits)).astype(np.float32)
+    ql = (rng.rand(nq, classes) > 0.5).astype(np.float32)
+    ql[:, 0] = 1
+    rl = (rng.rand(nr, classes) > 0.5).astype(np.float32)
+    rl[: nr // 3, 0] = 1
+
+    tq, tn, _ = _pallas_tiles(bits)
+    assert tq == (4 if bits <= 2046 else 2) and tn == 64
+    want = [calc_map_k_numpy(q, r, ql, rl, None)
+            for q, r in ((qi, rt), (qt, ri), (qi, ri), (qt, rt))]
+    got = calc_map_k_4dir_pallas(
+        qi, qt, ri, rt, ql, rl, None, chunk=4, tq=tq, tn=tn, interpret=True
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
+
+
+def test_4dir_auto_routes_long_centers_to_pallas_on_tpu(monkeypatch):
+    """Routing assertion (VERDICT r4 item 3): on a TPU backend 1024/2048-bit
+    codes take the Pallas kernel with the wide tiles; only >4094-bit codes
+    fall to the chunked-argsort route."""
+    import cmh_tpu.ops.map_pallas as mp
+    from cmh_tpu.ops.map_bucketed import calc_map_k_4dir_auto
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    calls = []
+
+    def fake_pallas(*a, **kw):
+        calls.append((a[0].shape[1], kw.get("tq"), kw.get("tn")))
+        return (0.0, 0.0, 0.0, 0.0)
+
+    monkeypatch.setattr(mp, "calc_map_k_4dir_pallas", fake_pallas)
+
+    def mk(bits):
+        rng = np.random.RandomState(0)
+        c = rng.choice([-1.0, 1.0], size=(3, bits)).astype(np.float32)
+        l = np.ones((3, 2), np.float32)
+        return c, l
+
+    for bits, tq in ((1024, 4), (2048, 2)):
+        c, l = mk(bits)
+        calc_map_k_4dir_auto(c, c, c, c, l, l, None)
+        assert calls[-1] == (bits, tq, 64), calls[-1]
+
+    # beyond the kernel ceiling: must NOT call the pallas path
+    n_before = len(calls)
+    c, l = mk(4096)
+    calc_map_k_4dir_auto(c, c, c, c, l, l, None)
+    assert len(calls) == n_before

@@ -1,5 +1,6 @@
 """Config-branch coverage: method variants not exercised by the main smokes."""
 
+import pytest
 import numpy as np
 
 from util_methods import run_steps, tiny_trainer
@@ -21,6 +22,7 @@ def test_dimch_softmax_branch(tmp_path):
     assert all(0 <= m <= 1 for m in maps)
 
 
+@pytest.mark.slow
 def test_umoed_nonfusion_bayesian_plain_ffn(tmp_path):
     """UMoED with separate heads, plain FFN decoder, Bayesian loss
     (triplet=False) and tanh+mean hashing."""

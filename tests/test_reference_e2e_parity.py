@@ -29,6 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ref_shims import load_reference  # noqa: E402
 
+pytestmark = pytest.mark.slow  # multi-minute E2E parity tier
+
 N_ITEMS = 300
 N_CLASSES = 4
 QUERY_NUM = 50

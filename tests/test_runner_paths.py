@@ -1,6 +1,7 @@
 """Trainer lifecycle paths not covered elsewhere: test mode, resume,
 DCMHT cosine branch, CLI entry."""
 
+import pytest
 import os
 
 import jax
@@ -66,6 +67,7 @@ def test_dcmht_cosine_branch(tmp_path):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     """python main.py runs a full tiny train+valid through the real argparse
     surface (CPU-forced via CMH_TPU_PLATFORM)."""
@@ -363,6 +365,7 @@ def test_auto_resume_skips_foreign_config_checkpoints(tmp_path):
     assert tr_foreign2._find_resume_checkpoint() == ck_foreign
 
 
+@pytest.mark.slow
 def test_load_checkpoint_structure_mismatch_clear_error(tmp_path):
     """A checkpoint from a different method must fail with a named error
     pointing at the file, not a deep KeyError."""
@@ -376,6 +379,7 @@ def test_load_checkpoint_structure_mismatch_clear_error(tmp_path):
         other.load_checkpoint(ckpt)
 
 
+@pytest.mark.slow
 def test_preemption_sigterm_saves_and_resumes(tmp_path):
     """SIGTERM mid-training (how TPU pods are reclaimed — the reference has
     no preemption handling at all, runners/base.py:379-384 keeps only

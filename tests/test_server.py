@@ -1,5 +1,6 @@
 """HTTP serving endpoint: exported text encoder + packed index end to end."""
 
+import pytest
 import json
 import threading
 
@@ -143,6 +144,7 @@ def test_server_without_encoders_rejects_text():
         app.search_text({"text": ["hi"]})
 
 
+@pytest.mark.slow
 def test_build_index_tool_end_to_end(tmp_path):
     """python -m cmh_tpu.tools.build_index: trained weights → serving index
     + encoder export in one pass, through the trainer's exact eval path.

@@ -10,6 +10,7 @@ a different trainer than the one that runs.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from util_methods import tiny_trainer
 
@@ -50,6 +51,7 @@ def test_train_scan_matches_per_step(tmp_path):
     assert int(tr_b.state.step) == n
 
 
+@pytest.mark.slow
 def test_train_scan_with_method_state(tmp_path):
     """MITH carries train-set-sized memory banks in method_state — the scan
     must thread them step-to-step exactly like the per-step path."""

@@ -40,12 +40,15 @@ def main(bits=128):
     ql[:, 0] = 1
     rl = (rng.rand(nr, classes) > 0.6).astype(np.float32)
     rl[: nr // 3, 0] = 1
-    # VP = bits+2 lane groups grow linearly with width — the wide path
-    # needs the tuned small tiles (map_pallas.py ceiling: 1022 bits at
-    # tq=8/tn=64), and its oracle must be the chunked-argsort route (the
+    # VP = bits+2 lane groups grow linearly with width — wide codes need
+    # the production tiles (map_bucketed._pallas_tiles: tq=8 to 1022 bits,
+    # 4 to 2046, 2 to 4094 — TwDH's shipped 1024/2048-bit long centers
+    # included), and their oracle must be the chunked-argsort route (the
     # XLA bucketed path stops at 256 bits)
+    from cmh_tpu.ops.map_bucketed import _pallas_tiles
+
     wide = bits + 1 > 256
-    tq, tn = (8, 64) if wide else (32, 128)
+    tq, tn, _ = _pallas_tiles(bits)
     if wide:
         from cmh_tpu.ops.metrics import calc_map_k
 
@@ -72,9 +75,11 @@ def main(bits=128):
     rl = (rng.rand(nr, classes) > 0.9).astype(np.float32)
     rl[: nr // 10, 0] = 1
 
+    chunk = _pallas_tiles(bits)[2]  # the production query chunk
+
     def run():
         return calc_map_k_4dir_pallas(qi, qt, ri, rt, ql, rl, None,
-                                      chunk=512, tq=tq, tn=tn)
+                                      chunk=chunk, tq=tq, tn=tn)
 
     run()  # compile
     times = []
