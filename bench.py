@@ -203,7 +203,10 @@ from cmh_tpu.config import config_from_dict
 from cmh_tpu.registry import registry
 import cmh_tpu
 tmp = tempfile.mkdtemp()
-batch = 256  # ~2.5e3 pairs/s vs ~2.1e3 at batch 100 (MXU utilization)
+batch = 256  # ~1.9e3 pairs/s, chip-bound: 128.1 ms/step DEVICE time at this
+# batch (tools/artifacts/battery/train_profile_b256_r05.log), of which
+# ~18 ms is flat-BertAdam HBM traffic over the 151M-param fp32 state —
+# batch-independent, which is why larger batches still beat batch 100
 cfg = config_from_dict({
   "model": {"arch": "DCMHT", "clip_path": "/nonexistent.pt", "hash_func": "softmax"},
   "optimizer": {"arch": "BertAdam", "lr": 0.001, "clip_lr": 0.00001},
@@ -252,13 +255,21 @@ def fresh_buffers():
 qi, qt = tr._encode_scan(tr.state.params, tr.state.model_state,
                          fresh_buffers(), q_stacked)         # compile
 float(jnp.sum(qi))
-t1 = time.perf_counter()
-qi, qt = tr._encode_scan(tr.state.params, tr.state.model_state,
-                         fresh_buffers(), q_stacked)
-float(jnp.sum(qi) + jnp.sum(qt))
-code_dt = time.perf_counter() - t1
+# median of 3: a single post-train-scan measurement reads ~2.5x slow
+# (straggling device/relay state from the donated train step — BENCH_r04's
+# 2076 items/s vs 5298 through the same program measured clean,
+# tools/artifacts/battery/profile_encode_r05.json)
+code_times = []
+for _ in range(3):
+    t1 = time.perf_counter()
+    qi, qt = tr._encode_scan(tr.state.params, tr.state.model_state,
+                             fresh_buffers(), q_stacked)
+    float(jnp.sum(qi) + jnp.sum(qt))
+    code_times.append(time.perf_counter() - t1)
+code_dt = sorted(code_times)[1]
 print(json.dumps({"train_pairs_per_sec": batch / dt,
-                  "eval_codegen_items_per_sec": tr.query_num / code_dt}))
+                  "eval_codegen_items_per_sec": tr.query_num / code_dt,
+                  "eval_codegen_times_s": [round(t, 4) for t in code_times]}))
 """
 
 
@@ -348,6 +359,7 @@ def bench_serving_device(n=10_000_000, q=64, bits=64, topk=100, runs=5):
         "best_cmp_per_sec": q * n / min(times),
         "times_s": [round(t, 4) for t in times],
         "select": serving._SELECT,
+        "collect": serving._COLLECT,
     }
 
 

@@ -64,6 +64,20 @@ _DEVICE_BLOCK = 1 << 20
 # are scanned at element resolution (gather cost O(topk·chunk) per block)
 _COLLECT_CHUNK = 1 << 10
 
+# survivor-collection strategy for the counting top-k's pass 2:
+#   "cumsum" — full-block survivor cumsum + searchsorted per rank. The
+#              cumsum is pure sequential-bandwidth work the TPU streams at
+#              HBM rate; on-chip at the 10M-item bench shape the whole
+#              search runs 0.26–0.29 s (2.2–2.4e9 cmp/s, BENCH_r04 battery
+#              captures of 2026-08-18 12:21/13:25 UTC).
+#   "hier"   — per-chunk survivor counts + gathering only hit chunks. On
+#              paper this avoids the log-pass cumsum traffic, but the
+#              (Q, topk, _COLLECT_CHUNK) take_along_axis gathers serialize
+#              on the TPU: the same bench shape measured 2.40 s — 8× slower
+#              (tools/artifacts/battery/serving_forensics_r05.json). Kept
+#              for A/B and for backends where gathers are cheap.
+_COLLECT = os.environ.get("CMH_TPU_SERVING_COLLECT", "cumsum")
+
 
 def _topk_scan(q_packed, g_rows, topk: int, block: int, interpret: bool,
                start, n_valid):
@@ -140,14 +154,13 @@ def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
               strictly-better (< T) entries exist;
       pass 2  re-score each block and collect, in gallery-index order, the
               entries with d < T (all of them — fewer than k by choice of
-              T) and the first ``k - strict`` ties at d == T. Survivors are
-              located hierarchically: per-chunk survivor counts (one cheap
-              reduce over ``_COLLECT_CHUNK``-element chunks) + a tiny
-              cumsum over chunk totals find each target rank's chunk, and
-              only the ≤topk hit chunks are gathered and scanned at element
-              resolution. A full-block cumsum would cost ~log2(block)
-              passes of (Q, block) int32 HBM traffic per block — measured
-              to dominate the whole search at the 10M-item bench shape;
+              T) and the first ``k - strict`` ties at d == T. Survivor
+              location strategy is ``_COLLECT``: "cumsum" (default —
+              full-block survivor cumsum + per-rank searchsorted; pure
+              streaming bandwidth, 0.26 s on-chip at the 10M bench shape)
+              or "hier" (per-chunk counts + element-resolution gathers of
+              only the hit chunks; the big take_along_axis gathers measure
+              8× slower on the TPU — see _COLLECT above);
       final   one stable lexicographic ``lax.sort`` over the ≤2k collected
               candidates restores (distance, index) order.
 
@@ -213,17 +226,30 @@ def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
         lambda a, v: jnp.searchsorted(
             a, v, side="left", method="scan_unrolled"))
 
-    # hierarchical survivor location: a full-block cumsum costs
-    # ~log2(block) HBM passes over a (Q, block) int32 array per block and
-    # measured-dominates the whole search; per-chunk counts + a tiny
-    # chunk-level cumsum + gathering only the ≤topk hit chunks replace it
-    # with one cheap reduce and O(topk·chunk) element work
     chunk = min(_COLLECT_CHUNK, block)
     nch = -(-block // chunk)
     pad_to = nch * chunk
     carange = jnp.arange(chunk, dtype=jnp.int32)
 
-    def collect_chan(mask, d, base_gidx, buf_d, buf_i, cnt):
+    def collect_chan_cumsum(mask, d, base_gidx, buf_d, buf_i, cnt):
+        """Survivor placement via a full-block cumsum: ``cum[q, j]`` =
+        number of survivors at positions ≤ j, so the channel-rank-r
+        survivor sits at the first j with cum ≥ r (searchsorted). The
+        cumsum streams the (Q, block) int32 tile at HBM rate — measured
+        0.26 s for the whole 10M search vs 2.40 s for the gather-based
+        hierarchical variant (see _COLLECT)."""
+        cum = jnp.cumsum(mask, axis=1, dtype=jnp.int32)
+        have = cum[:, -1]
+        targ = slots[None, :] + 1 - cnt[:, None]   # 1-based channel rank
+        valid = (targ >= 1) & (targ <= have[:, None])
+        pos = searchsorted(cum, jnp.clip(targ, 1, None))
+        pos = jnp.clip(pos, 0, cum.shape[1] - 1)
+        cd = jnp.take_along_axis(d, pos, axis=1).astype(jnp.int32)
+        ci = base_gidx + pos
+        return (jnp.where(valid, cd, buf_d),
+                jnp.where(valid, ci, buf_i), cnt + have)
+
+    def collect_chan_hier(mask, d, base_gidx, buf_d, buf_i, cnt):
         """Place this block's survivors (``mask``, in gallery-index order)
         into their global-rank slots of (buf_d, buf_i). ``base_gidx`` is
         the block's first global gallery index (may be traced)."""
@@ -254,6 +280,9 @@ def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
         ci = base_gidx + fpos
         return (jnp.where(valid, cd, buf_d),
                 jnp.where(valid, ci, buf_i), cnt + have)
+
+    collect_chan = (collect_chan_hier if _COLLECT == "hier"
+                    else collect_chan_cumsum)
 
     def collect_body(carry, inp):
         sd, si, td, ti, scnt, tcnt = carry

@@ -1,5 +1,6 @@
 """RetrievalIndex: exact top-k by Hamming distance over packed codes."""
 
+import pytest
 import numpy as np
 
 from cmh_tpu.serving import RetrievalIndex
@@ -182,6 +183,7 @@ def test_device_search_blocked_matches_unblocked():
     np.testing.assert_array_equal(i_blk, i_cpu)
 
 
+@pytest.mark.slow
 def test_device_search_mesh_sharded_matches_single():
     """Gallery-sharded multi-chip search (8-device mesh, rows split across
     devices, all-gather merge) must be bit-equal to the single-device path
@@ -260,6 +262,7 @@ def test_native_gallery_split_matches_query_split():
         np.testing.assert_array_equal(i1, i4)
 
 
+@pytest.mark.slow
 def test_search_paths_randomized_cross_exactness():
     """Seeded randomized sweep: auto/blocked/native-cpu/mesh-sharded search
     must agree bit-for-bit across random (bits, n, q, topk, block) incl.
@@ -291,6 +294,7 @@ def test_search_paths_randomized_cross_exactness():
             np.testing.assert_array_equal(i0, i3)
 
 
+@pytest.mark.slow
 def test_counting_topk_matches_sort_path():
     """The counting-rank selection (serving._topk_counting — histogram
     threshold + cumsum/searchsorted collection, no sort over the gallery)
@@ -312,12 +316,17 @@ def test_counting_topk_matches_sort_path():
     from cmh_tpu import serving as serving_mod
 
     orig_chunk = serving_mod._COLLECT_CHUNK
+    orig_collect = serving_mod._COLLECT
     try:
-        # second pass with a tiny collect chunk so survivors span multiple
-        # chunks and the cross-chunk branch (cid>0: searchsorted into a
-        # later chunk + prev-subtraction rank recovery) is exercised — at
-        # the default 1024 every ≤157-row test gallery lands in chunk 0
-        for collect_chunk in (orig_chunk, 4):
+        # both survivor-collection strategies (cumsum default + the gather
+        # -based hier variant), and for hier a second pass with a tiny
+        # collect chunk so survivors span multiple chunks and the
+        # cross-chunk branch (cid>0: searchsorted into a later chunk +
+        # prev-subtraction rank recovery) is exercised — at the default
+        # 1024 every ≤157-row test gallery lands in chunk 0
+        for collect, collect_chunk in (("cumsum", orig_chunk),
+                                       ("hier", orig_chunk), ("hier", 4)):
+            serving_mod._COLLECT = collect
             serving_mod._COLLECT_CHUNK = collect_chunk
             for gallery, queries, topk in cases:
                 qp = pack_bits(jnp.asarray(queries))
@@ -333,6 +342,7 @@ def test_counting_topk_matches_sort_path():
                                                   np.asarray(want[1]))
     finally:
         serving_mod._COLLECT_CHUNK = orig_chunk
+        serving_mod._COLLECT = orig_collect
 
 
 def test_counting_topk_short_shard_pads_like_scan():
