@@ -76,7 +76,23 @@ _COLLECT_CHUNK = 1 << 10
 #              on the TPU: the same bench shape measured 2.40 s — 8× slower
 #              (tools/artifacts/battery/serving_forensics_r05.json). Kept
 #              for A/B and for backends where gathers are cheap.
-_COLLECT = os.environ.get("CMH_TPU_SERVING_COLLECT", "cumsum")
+#   "trimat" — same searchsorted placement as "cumsum", but the cumulative
+#              count is built as a chunk-256 lower-triangular bf16 matmul
+#              on the MXU plus a tiny int32 cumsum over chunk totals
+#              (the ops/map_bucketed tri-matmul idiom). XLA lowers
+#              jnp.cumsum over a (Q, 2^20) int32 tile to ~20 shift-add
+#              passes over HBM — measured as 79% of the whole 10M search
+#              (serving_select_profile_r05.json); the two-level form reads
+#              the mask once. Bit-equal to "cumsum" (tested): counts ≤ 256
+#              are exact in bf16 with fp32 accumulation. On-chip at the
+#              bench shape: 0.212 s (3.0e9 cmp/s) vs cumsum's 0.283 s.
+#   "trimat2" (default) — "trimat" plus a two-stage rank resolve that
+#              never materializes the global cumulative array: coarse
+#              searchsorted over the tiny chunk-total cumsum, then an
+#              8-step branchless lower_bound probing the within-chunk
+#              counts. On-chip: 0.156 s (4.1e9 cmp/s) — 1.81× over
+#              "cumsum" (tools/artifacts/battery/serving_trimat_ab_r05.json).
+_COLLECT = os.environ.get("CMH_TPU_SERVING_COLLECT", "trimat2")
 
 
 def _topk_scan(q_packed, g_rows, topk: int, block: int, interpret: bool,
@@ -155,12 +171,12 @@ def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
       pass 2  re-score each block and collect, in gallery-index order, the
               entries with d < T (all of them — fewer than k by choice of
               T) and the first ``k - strict`` ties at d == T. Survivor
-              location strategy is ``_COLLECT``: "cumsum" (default —
-              full-block survivor cumsum + per-rank searchsorted; pure
-              streaming bandwidth, 0.26 s on-chip at the 10M bench shape)
-              or "hier" (per-chunk counts + element-resolution gathers of
-              only the hit chunks; the big take_along_axis gathers measure
-              8× slower on the TPU — see _COLLECT above);
+              location strategy is ``_COLLECT`` (see the comment above the
+              env knob): "trimat2" (default — MXU tri-matmul two-level
+              cumulative counts + two-stage rank resolve; 0.156 s on-chip
+              at the 10M bench shape), "trimat", "cumsum" (full-block
+              jnp.cumsum + searchsorted; 0.283 s), or "hier" (element-
+              resolution gathers; 8× slower on TPU, kept for A/B);
       final   one stable lexicographic ``lax.sort`` over the ≤2k collected
               candidates restores (distance, index) order.
 
@@ -249,6 +265,87 @@ def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
         return (jnp.where(valid, cd, buf_d),
                 jnp.where(valid, ci, buf_i), cnt + have)
 
+    def collect_chan_trimat(mask, d, base_gidx, buf_d, buf_i, cnt):
+        """``collect_chan_cumsum`` with the cumsum itself moved onto the
+        MXU: within-chunk cumulative counts are one K=256 lower-triangular
+        bf16 matmul (exact — counts ≤ 256, fp32 accumulation), chunk
+        totals get a tiny int32 cumsum, and their sum reconstructs the
+        identical global cumulative array in one elementwise pass. See
+        the _COLLECT comment for the measured motivation."""
+        tchunk = 256
+        b = mask.shape[1]
+        tnch = -(-b // tchunk)
+        m, dd = mask, d
+        if tnch * tchunk != b:
+            m = jnp.pad(m, ((0, 0), (0, tnch * tchunk - b)))
+            dd = jnp.pad(dd, ((0, 0), (0, tnch * tchunk - b)))
+        iar = jnp.arange(tchunk)
+        tri = (iar[:, None] <= iar[None, :]).astype(jnp.bfloat16)
+        mf = m.astype(jnp.bfloat16).reshape(qn, tnch, tchunk)
+        c1 = jax.lax.dot_general(
+            mf, tri, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        tot = c1[..., -1]
+        c2 = jnp.cumsum(tot, axis=1)
+        cum = (c1 + (c2 - tot)[..., None]).reshape(qn, tnch * tchunk)
+        have = cum[:, -1]
+        targ = slots[None, :] + 1 - cnt[:, None]   # 1-based channel rank
+        valid = (targ >= 1) & (targ <= have[:, None])
+        pos = searchsorted(cum, jnp.clip(targ, 1, None))
+        pos = jnp.clip(pos, 0, cum.shape[1] - 1)
+        cd = jnp.take_along_axis(dd, pos, axis=1).astype(jnp.int32)
+        ci = base_gidx + pos
+        return (jnp.where(valid, cd, buf_d),
+                jnp.where(valid, ci, buf_i), cnt + have)
+
+    def collect_chan_trimat2(mask, d, base_gidx, buf_d, buf_i, cnt):
+        """``collect_chan_trimat`` with a two-stage rank resolve: the
+        global cumulative array is never materialized — a coarse
+        searchsorted over the tiny (Q, nchunks) chunk-total cumsum finds
+        each rank's chunk, then an 8-step branchless binary search probes
+        the within-chunk counts (``c1``) directly. Cuts the 20 per-rank
+        gather rounds over the (Q, block) array to 8 plus ~12 over an
+        array 256× smaller."""
+        tchunk = 256
+        b = mask.shape[1]
+        tnch = -(-b // tchunk)
+        m, dd = mask, d
+        if tnch * tchunk != b:
+            m = jnp.pad(m, ((0, 0), (0, tnch * tchunk - b)))
+            dd = jnp.pad(dd, ((0, 0), (0, tnch * tchunk - b)))
+        iar = jnp.arange(tchunk)
+        tri = (iar[:, None] <= iar[None, :]).astype(jnp.bfloat16)
+        mf = m.astype(jnp.bfloat16).reshape(qn, tnch, tchunk)
+        c1 = jax.lax.dot_general(
+            mf, tri, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        c2 = jnp.cumsum(c1[..., -1], axis=1)
+        have = c2[:, -1]
+        targ = slots[None, :] + 1 - cnt[:, None]   # 1-based channel rank
+        valid = (targ >= 1) & (targ <= have[:, None])
+        tq = jnp.clip(targ, 1, None)
+        cid = jnp.clip(searchsorted(c2, tq), 0, tnch - 1)
+        prev = jnp.where(
+            cid > 0,
+            jnp.take_along_axis(c2, jnp.clip(cid - 1, 0, None), axis=1), 0)
+        r = tq - prev                              # rank within the chunk
+        c1f = c1.reshape(qn, tnch * tchunk)
+        base = cid * tchunk
+        # smallest off with c1[q, cid, off] >= r: branchless lower_bound —
+        # off counts positions whose cumulative count is still < r
+        off = jnp.zeros_like(cid)
+        s = tchunk // 2
+        while s:
+            t = off + s
+            val = jnp.take_along_axis(c1f, base + t - 1, axis=1)
+            off = jnp.where(val < r, t, off)
+            s //= 2
+        pos = jnp.clip(base + off, 0, tnch * tchunk - 1)
+        cd = jnp.take_along_axis(dd, pos, axis=1).astype(jnp.int32)
+        ci = base_gidx + pos
+        return (jnp.where(valid, cd, buf_d),
+                jnp.where(valid, ci, buf_i), cnt + have)
+
     def collect_chan_hier(mask, d, base_gidx, buf_d, buf_i, cnt):
         """Place this block's survivors (``mask``, in gallery-index order)
         into their global-rank slots of (buf_d, buf_i). ``base_gidx`` is
@@ -281,8 +378,10 @@ def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
         return (jnp.where(valid, cd, buf_d),
                 jnp.where(valid, ci, buf_i), cnt + have)
 
-    collect_chan = (collect_chan_hier if _COLLECT == "hier"
-                    else collect_chan_cumsum)
+    collect_chan = {"hier": collect_chan_hier,
+                    "trimat": collect_chan_trimat,
+                    "trimat2": collect_chan_trimat2}.get(
+                        _COLLECT, collect_chan_cumsum)
 
     def collect_body(carry, inp):
         sd, si, td, ti, scnt, tcnt = carry

@@ -324,7 +324,11 @@ def test_counting_topk_matches_sort_path():
         # cross-chunk branch (cid>0: searchsorted into a later chunk +
         # prev-subtraction rank recovery) is exercised — at the default
         # 1024 every ≤157-row test gallery lands in chunk 0
+        # trimat: blocks 1/13/64 exercise the pad-to-chunk-256 branch,
+        # 4096 exercises multi-chunk reconstruction (c2 level carries)
         for collect, collect_chunk in (("cumsum", orig_chunk),
+                                       ("trimat", orig_chunk),
+                                       ("trimat2", orig_chunk),
                                        ("hier", orig_chunk), ("hier", 4)):
             serving_mod._COLLECT = collect
             serving_mod._COLLECT_CHUNK = collect_chunk
