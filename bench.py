@@ -360,6 +360,7 @@ def bench_serving_device(n=10_000_000, q=64, bits=64, topk=100, runs=5):
         "times_s": [round(t, 4) for t in times],
         "select": serving._SELECT,
         "collect": serving._COLLECT,
+        "dcache_mb": serving._DCACHE_MB,
     }
 
 

@@ -94,6 +94,19 @@ _COLLECT_CHUNK = 1 << 10
 #              "cumsum" (tools/artifacts/battery/serving_trimat_ab_r05.json).
 _COLLECT = os.environ.get("CMH_TPU_SERVING_COLLECT", "trimat2")
 
+# distance-cache budget for the counting top-k (MB of uint8 (Q, N)
+# distances). Both of its passes need every query×gallery distance; when
+# the tile fits, one Pallas scoring dispatch feeds both passes instead of
+# re-scoring the gallery in pass 2. 0 disables (score-twice streaming
+# form, footprint independent of N). On-chip at the 10M bench shape
+# (640 MB cache): 0.154 s vs 0.156 s without — the pass-2 rescore largely
+# overlaps the collect's other work, so the cache is nearly neutral in
+# time; kept default-on for the popcount sweep it removes. NOTE: feeding
+# the cache through the scan xs as a (nblocks, Q, block) transpose
+# measured 0.177 s — WORSE than rescoring; the contiguous dynamic_slice
+# form below is the one that wins.
+_DCACHE_MB = int(os.environ.get("CMH_TPU_SERVING_DCACHE_MB", "1024"))
+
 
 def _topk_scan(q_packed, g_rows, topk: int, block: int, interpret: bool,
                start, n_valid):
@@ -196,14 +209,39 @@ def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
 
     nblocks = -(-rows // block)
     g = jnp.pad(g_rows, ((0, nblocks * block - rows), (0, 0)))
-    g = g.reshape(nblocks, block, w)
     offsets = jnp.arange(nblocks, dtype=jnp.int32) * block
 
-    def score(gb, offset):
-        d = hamming_packed(q_packed, gb, interpret=interpret, bits=bits)
-        local = offset + jnp.arange(gb.shape[0], dtype=jnp.int32)
-        ok = (local < rows) & (start + local < n_valid)
-        return d.astype(jnp.uint8), ok, start + local
+    # distance cache: both passes need every query×gallery distance, so
+    # when the (Q, N) uint8 tile fits the budget, score the whole gallery
+    # ONCE with a single Pallas dispatch and let both scans stream the
+    # cached bytes — re-scoring in pass 2 costs a full popcount sweep
+    # (~29.5 ms of the 156 ms 10M search) where re-reading costs ~1.6 ms
+    # of HBM traffic. Off (0) restores the score-twice streaming form
+    # whose footprint is independent of N.
+    use_dcache = qn * nblocks * block <= _DCACHE_MB * (1 << 20)
+    if use_dcache:
+        d_all = hamming_packed(
+            q_packed, g, interpret=interpret, bits=bits).astype(jnp.uint8)
+        # scans close over d_all (a traced intermediate, not a host
+        # constant — trap #5 doesn't apply) and slice each block out
+        # contiguously; a (Q, nblocks, block) → (nblocks, Q, block)
+        # transpose so the cache could ride the scan xs measured slower
+        # than the rescore it saves (0.177 s vs 0.156 s at the 10M shape)
+        payload = offsets
+
+        def score(_, offset):
+            db = jax.lax.dynamic_slice_in_dim(d_all, offset, block, axis=1)
+            local = offset + jnp.arange(block, dtype=jnp.int32)
+            ok = (local < rows) & (start + local < n_valid)
+            return db, ok, start + local
+    else:
+        payload = g.reshape(nblocks, block, w)
+
+        def score(gb, offset):
+            d = hamming_packed(q_packed, gb, interpret=interpret, bits=bits)
+            local = offset + jnp.arange(gb.shape[0], dtype=jnp.int32)
+            ok = (local < rows) & (start + local < n_valid)
+            return d.astype(jnp.uint8), ok, start + local
 
     # pass 1: per-query counts of (valid & d <= t) for every t — fused
     # compare+reduce reads the uint8 distance tile, never materializing
@@ -218,7 +256,7 @@ def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
         return acc + cle, None
 
     cle, _ = jax.lax.scan(
-        hist_body, jnp.zeros((qn, nbins), jnp.int32), (g, offsets))
+        hist_body, jnp.zeros((qn, nbins), jnp.int32), (payload, offsets))
 
     total = cle[:, -1]
     # T = smallest distance whose cumulative count reaches k; if the shard
@@ -398,7 +436,8 @@ def _topk_counting(q_packed, g_rows, topk: int, block: int, interpret: bool,
     pad_i = jnp.full((qn, topk), n_valid, jnp.int32)
     zero = jnp.zeros((qn,), jnp.int32)
     (sd, si, td, ti, _, _), _ = jax.lax.scan(
-        collect_body, (full, pad_i, full, pad_i, zero, zero), (g, offsets))
+        collect_body, (full, pad_i, full, pad_i, zero, zero),
+        (payload, offsets))
 
     keep_t = slots[None, :] < tie_quota[:, None]
     td = jnp.where(keep_t, td, sentinel)
